@@ -1,0 +1,157 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.ops import fast, hamming, orb, pyramid
+from vslam_tpu.utils import synthetic
+
+CIRCLE = fast._CIRCLE
+
+
+def numpy_fast_oracle(img: np.ndarray, t: float):
+    """Independent scalar FAST-9/16 implementation (the spec)."""
+    H, W = img.shape
+    score = np.zeros((H, W), np.float32)
+    for y in range(3, H - 3):
+        for x in range(3, W - 3):
+            ring = np.array([img[y + dy, x + dx] for dx, dy in CIRCLE], np.float32)
+            db = ring - img[y, x]
+            best = 0.0
+            for d in (db, -db):
+                dd = np.concatenate([d, d[:8]])
+                for k in range(16):
+                    m = dd[k : k + 9].min()
+                    best = max(best, m)
+            if best > t:
+                score[y, x] = best
+    return score
+
+
+def _test_image(seed=3, h=64, w=80):
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 40.0, np.float32)
+    # a few bright/dark blobs to create corners
+    for _ in range(12):
+        y, x = rng.integers(8, h - 8), rng.integers(8, w - 8)
+        s = rng.integers(2, 5)
+        img[y : y + s, x : x + s] = rng.choice([220.0, 5.0])
+    img += rng.normal(0, 1.0, img.shape).astype(np.float32)
+    return img
+
+
+def test_fast_score_matches_oracle():
+    img = _test_image()
+    t = 20.0
+    oracle = numpy_fast_oracle(img, t)
+    ours = np.asarray(jax.jit(fast.fast_score, static_argnums=())(jnp.asarray(img), t))
+    np.testing.assert_allclose(ours, oracle, atol=1e-3)
+
+
+def test_nms_keeps_single_max():
+    img = _test_image(seed=5)
+    s = fast.fast_score(jnp.asarray(img), 7.0)
+    n = np.asarray(fast.nms3x3(s))
+    # every surviving pixel is the max of its 3x3 neighborhood
+    ys, xs = np.nonzero(n)
+    sn = np.asarray(s)
+    for y, x in zip(ys, xs):
+        patch = sn[max(0, y - 1) : y + 2, max(0, x - 1) : x + 2]
+        assert n[y, x] == patch.max()
+    # no two adjacent survivors
+    occ = n > 0
+    assert not (occ[:, :-1] & occ[:, 1:]).any()
+    assert not (occ[:-1] & occ[1:]).any()
+
+
+def test_select_keypoints_quota_and_coverage():
+    rng = np.random.default_rng(0)
+    score = rng.uniform(0, 100, size=(144, 144)).astype(np.float32)
+    xy, resp, valid = fast.select_keypoints(
+        jnp.asarray(score), cell=36, max_keypoints=32, edge_margin=4, per_cell=4
+    )
+    xy, resp, valid = map(np.asarray, (xy, resp, valid))
+    assert valid.sum() == 32
+    # responses sorted descending
+    assert (np.diff(resp[valid]) <= 1e-5).all()
+    # responses match the score map at the reported coords
+    for i in range(32):
+        assert abs(score[xy[i, 1], xy[i, 0]] - resp[i]) < 1e-4
+    # coverage: with per-cell cap 4 and a 4x4 grid, no cell dominates
+    cells = (xy[valid] // 36)
+    _, counts = np.unique(cells[:, 0] * 4 + cells[:, 1], return_counts=True)
+    assert counts.max() <= 4
+
+
+def test_detect_on_synthetic_scene_finds_patch_corners():
+    scene = synthetic.make_scene(n_frames=2, n_points=40, width=320, height=240, seed=2)
+    img = scene.render(0)
+    xy, resp, valid = jax.jit(
+        lambda im: fast.detect(im, max_keypoints=128, edge_margin=10)
+    )(jnp.asarray(img))
+    xy, valid = np.asarray(xy), np.asarray(valid)
+    assert valid.sum() > 20
+    # most detections should be near a rendered patch center
+    uv, vis, _ = scene.project_points(0)
+    centers = uv[vis]
+    d = np.linalg.norm(xy[valid][:, None, :] - centers[None], axis=-1).min(axis=1)
+    assert np.median(d) < 6.0
+
+
+def test_orientation_rotates_with_image():
+    # asymmetric blob: bright on one side
+    img = np.full((64, 64), 20.0, np.float32)
+    img[28:37, 32:44] = 200.0  # mass to the +x side of (32, 32)
+    a0 = float(orb.orientations(jnp.asarray(img), jnp.asarray([[32, 32]]))[0])
+    # rotate image 90 deg CW: mass moves to +y side
+    img90 = np.rot90(img, k=-1).copy()
+    a1 = float(orb.orientations(jnp.asarray(img90), jnp.asarray([[31, 32]]))[0])
+    diff = (a1 - a0 + np.pi) % (2 * np.pi) - np.pi
+    assert abs(diff - np.pi / 2) < 0.15
+
+
+def test_brief_consistency_across_views():
+    scene = synthetic.make_scene(n_frames=3, n_points=50, width=320, height=240, seed=4)
+    img0 = scene.render(0)
+    img1 = scene.render(1)
+    uv0, vis0, _ = scene.project_points(0)
+    uv1, vis1, _ = scene.project_points(1)
+    both = vis0 & vis1
+    ids = np.nonzero(both)[0][:16]
+    xy0 = jnp.asarray(np.round(uv0[ids]).astype(np.int32))
+    xy1 = jnp.asarray(np.round(uv1[ids]).astype(np.int32))
+
+    @jax.jit
+    def describe(img, xy):
+        blurred = pyramid.gaussian_blur(jnp.asarray(img))
+        ang = orb.orientations(blurred, xy)
+        return orb.brief_descriptors(blurred, xy, ang)
+
+    p0, s0 = describe(jnp.asarray(img0), xy0)
+    p1, s1 = describe(jnp.asarray(img1), xy1)
+    d = np.asarray(hamming.hamming_matrix(s0, s1))
+    dp = np.asarray(hamming.packed_hamming(p0, p1))
+    # MXU form and packed popcount form agree exactly
+    np.testing.assert_array_equal(d.astype(np.int32), dp)
+    # same landmark across views: distance far below the 75 stereo threshold
+    diag = np.diag(d)
+    off = d + np.eye(len(ids)) * 1e9
+    assert np.median(diag) < 60.0
+    # descriptors are discriminative: true match beats the best impostor
+    assert (diag < off.min(axis=1)).mean() > 0.8
+
+
+def test_pyramid_shapes_and_content():
+    img = jnp.asarray(_test_image(h=96, w=128))
+    levels = pyramid.build_pyramid(img, n_levels=4, scale=1.2)
+    shapes = pyramid.level_shapes(96, 128, 4, 1.2)
+    assert [l.shape for l in levels] == shapes
+    # downsampled mean stays close to original mean
+    for l in levels:
+        assert abs(float(jnp.mean(l)) - float(jnp.mean(img))) < 4.0
+
+
+def test_gaussian_blur_preserves_mean_and_smooths():
+    img = jnp.asarray(_test_image(seed=9))
+    out = pyramid.gaussian_blur(img)
+    assert abs(float(jnp.mean(out)) - float(jnp.mean(img))) < 0.5
+    assert float(jnp.var(out)) < float(jnp.var(img))

@@ -1,0 +1,1 @@
+from vslam_tpu.geometry import se3  # noqa: F401

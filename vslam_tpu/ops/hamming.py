@@ -1,0 +1,58 @@
+"""Hamming distance matrices on the MXU.
+
+The reference compares 256-bit BRIEF descriptors with a scalar popcount
+loop (reference FeatureMatcher::DescriptorDistance,
+src/FeatureMatcher.cpp:710-726, thresholded at 75/100/50 in
+include/FeatureMatcher.h:25-30). On TPU we batch every matching stage into
+one distance matrix: with descriptors expanded to +-1 vectors,
+
+    dot(a, b) = 256 - 2 * hamming(a, b)   =>   hamming = (256 - dot) / 2
+
+so an (N, 256) x (256, M) matmul on the MXU computes all N*M distances at
+once. The +-1 expansion is exact in bfloat16 (integers up to 256), so this
+runs at full MXU speed with no precision loss.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+N_BITS = 256
+INVALID = 1e9  # distance assigned to masked-out pairs
+
+
+def hamming_matrix(
+    a_signed: jax.Array,
+    b_signed: jax.Array,
+    a_valid: jax.Array | None = None,
+    b_valid: jax.Array | None = None,
+) -> jax.Array:
+    """(N, 256) x (M, 256) +-1 descriptors -> (N, M) float32 Hamming
+    distances; invalid rows/cols get INVALID."""
+    dot = jax.lax.dot_general(
+        a_signed.astype(jnp.bfloat16),
+        b_signed.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,  # bf16 inputs are exact here
+    )
+    d = (N_BITS - dot) * 0.5
+    if a_valid is not None:
+        d = jnp.where(a_valid[:, None], d, INVALID)
+    if b_valid is not None:
+        d = jnp.where(b_valid[None, :], d, INVALID)
+    return d
+
+
+def packed_hamming(a_packed: jax.Array, b_packed: jax.Array) -> jax.Array:
+    """Reference-semantics popcount distance for (N, 8) x (M, 8) uint32
+    packed descriptors -> (N, M) int32. Used as the oracle/cross-check for
+    :func:`hamming_matrix` and for host-side debugging."""
+    x = a_packed[:, None, :] ^ b_packed[None, :, :]
+    # SWAR popcount per uint32 word
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    x = (x * jnp.uint32(0x01010101)) >> 24
+    return jnp.sum(x.astype(jnp.int32), axis=-1)
