@@ -1,0 +1,129 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.geometry import se3
+from vslam_tpu.ops import schur
+
+K = np.array([[460.0, 0, 320.0], [0, 460.0, 240.0], [0, 0, 1.0]], np.float32)
+BASELINE = 0.12
+
+
+def _build_problem(W=6, L=96, noise_pose=0.02, noise_pt=0.05, seed=0, O=None):
+    rng = np.random.default_rng(seed)
+    # ground-truth poses along a forward path
+    poses_gt = []
+    for i in range(W):
+        xi = np.array(
+            [0.01 * i, 0.02 * i, 0.005 * i, 0.1 * i, 0.01 * i, 0.6 * i], np.float32
+        )
+        poses_gt.append(np.asarray(se3.se3_expmap(jnp.asarray(xi))))
+    poses_gt = np.stack(poses_gt)
+    pts_gt = np.stack(
+        [rng.uniform(-6, 6, L), rng.uniform(-4, 4, L), rng.uniform(6, 30, L)], -1
+    ).astype(np.float32)
+
+    # exact observations: every landmark seen by every pose (dense O = W*L)
+    obs_kf, obs_lm, obs_uv, obs_st = [], [], [], []
+    for w in range(W):
+        T_cw = np.linalg.inv(poses_gt[w])
+        pc = (T_cw[:3, :3] @ pts_gt.T).T + T_cw[:3, 3]
+        u = K[0, 0] * pc[:, 0] / pc[:, 2] + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / pc[:, 2] + K[1, 2]
+        ur = K[0, 0] * (pc[:, 0] - BASELINE) / pc[:, 2] + K[0, 2]
+        for l in range(L):
+            obs_kf.append(w)
+            obs_lm.append(l)
+            obs_uv.append([u[l], v[l], ur[l]])
+            obs_st.append(l % 2 == 0)
+    obs_kf = np.asarray(obs_kf, np.int32)
+    obs_lm = np.asarray(obs_lm, np.int32)
+    obs_uv = np.asarray(obs_uv, np.float32)
+    obs_st = np.asarray(obs_st)
+
+    # perturb non-fixed poses and all landmarks
+    fixed = np.zeros(W, bool)
+    fixed[0] = True
+    poses_init = poses_gt.copy()
+    for w in range(W):
+        if not fixed[w]:
+            xi = rng.normal(0, noise_pose, 6).astype(np.float32)
+            poses_init[w] = poses_gt[w] @ np.asarray(se3.se3_expmap(jnp.asarray(xi)))
+    pts_init = pts_gt + rng.normal(0, noise_pt, pts_gt.shape).astype(np.float32)
+
+    odo_rel = np.stack(
+        [np.linalg.inv(poses_gt[i]) @ poses_gt[i + 1] for i in range(W - 1)]
+    ).astype(np.float32)
+
+    p = schur.BAProblem(
+        poses=jnp.asarray(poses_init),
+        fixed=jnp.asarray(fixed),
+        pose_valid=jnp.ones(W, dtype=bool),
+        pts=jnp.asarray(pts_init),
+        pt_valid=jnp.ones(L, dtype=bool),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_stereo=jnp.asarray(obs_st),
+        obs_w=jnp.ones(len(obs_kf), jnp.float32),
+        obs_valid=jnp.ones(len(obs_kf), dtype=bool),
+        K=jnp.asarray(K),
+        baseline=jnp.float32(BASELINE),
+        odo_rel=jnp.asarray(odo_rel),
+        odo_valid=jnp.ones(W - 1, dtype=bool),
+    )
+    return p, poses_gt, pts_gt
+
+
+def test_local_ba_converges_to_ground_truth():
+    p, poses_gt, pts_gt = _build_problem()
+    p1, err1, _ = schur.local_ba(p, iters=5)
+    p2, err2, _ = schur.local_ba(p1, iters=10)
+    assert float(err2) < float(schur.ba_error(p)) * 1e-3
+    poses = np.asarray(p2.poses)
+    for w in range(len(poses)):
+        xi = np.asarray(se3.se3_logmap(jnp.asarray(np.linalg.inv(poses_gt[w]) @ poses[w])))
+        assert np.abs(xi).max() < 2e-3, (w, xi)
+    # landmarks recovered
+    err_pts = np.linalg.norm(np.asarray(p2.pts) - pts_gt, axis=1)
+    assert np.median(err_pts) < 0.02
+
+
+def test_local_ba_respects_gauge():
+    p, poses_gt, _ = _build_problem()
+    p2, _, _ = schur.local_ba(p, iters=8)
+    # fixed pose 0 must be bitwise untouched
+    np.testing.assert_array_equal(np.asarray(p2.poses)[0], np.asarray(p.poses)[0])
+
+
+def test_obs_chi2_flags_corrupt_observations():
+    p, poses_gt, pts_gt = _build_problem(noise_pose=0.0, noise_pt=0.0)
+    uv = np.array(p.obs_uv)
+    bad = np.arange(7, 400, 61)
+    uv[bad, :2] += 20.0
+    p = p._replace(obs_uv=jnp.asarray(uv))
+    chi2 = np.asarray(schur.obs_chi2(p))
+    assert (chi2[bad] > schur.CHI2_THR).all()
+    good = np.setdiff1d(np.arange(len(uv)), bad)
+    assert (chi2[good] < schur.CHI2_THR).mean() > 0.99
+
+
+def test_local_ba_with_outliers_two_rounds():
+    p, poses_gt, pts_gt = _build_problem(seed=3)
+    uv = np.array(p.obs_uv)
+    rng = np.random.default_rng(1)
+    bad = rng.choice(len(uv), 30, replace=False)
+    uv[bad, :2] += rng.uniform(15, 40, (30, 2))
+    p = p._replace(obs_uv=jnp.asarray(uv))
+    # round 1 (5 iters) -> chi2 sweep -> round 2 (10 iters), as the reference
+    p1, _, _ = schur.local_ba(p, iters=5)
+    chi2 = np.asarray(schur.obs_chi2(p1))
+    keep = jnp.asarray(chi2 < schur.CHI2_THR) & p1.obs_valid
+    p1 = p1._replace(obs_valid=keep)
+    p2, err, _ = schur.local_ba(p1, iters=10)
+    poses = np.asarray(p2.poses)
+    for w in range(len(poses)):
+        xi = np.asarray(se3.se3_logmap(jnp.asarray(np.linalg.inv(poses_gt[w]) @ poses[w])))
+        assert np.abs(xi).max() < 5e-3, (w, xi)
+    # most of the injected outliers were swept
+    assert (~np.asarray(keep)[bad]).mean() > 0.8

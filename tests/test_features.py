@@ -94,7 +94,8 @@ def test_detect_on_synthetic_scene_finds_patch_corners():
     uv, vis, _ = scene.project_points(0)
     centers = uv[vis]
     d = np.linalg.norm(xy[valid][:, None, :] - centers[None], axis=-1).min(axis=1)
-    assert np.median(d) < 6.0
+    # corners of the 13x13 patches sit up to ~9 px from their centers
+    assert np.median(d) < 9.5
 
 
 def test_orientation_rotates_with_image():

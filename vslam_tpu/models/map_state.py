@@ -1,0 +1,219 @@
+"""World map: preallocated structure-of-arrays with functional updates.
+
+TPU-native re-design of the reference's pointer-based world model
+(Map/MapPoint at include/Map.h:19-138, KeyFrame at include/KeyFrame.h:17-82):
+hash maps of heap objects become fixed-capacity device arrays + host-side
+slot counters; the tracker<->mapper mutex+flag protocol
+(include/Map.h:115-135) becomes snapshot semantics — BA reads a gather of
+the arrays and writes back with a single scatter, so there is no shared
+mutable aliasing and no race class to detect (SURVEY.md §5).
+
+Layout:
+- landmarks: position, representative descriptor (+-1 int8 MXU form),
+  scale-distance band (MapPoint::maxScaleDist/minScaleDist,
+  src/Map.cpp:13-23), validity;
+- keyframes: pose + fixed-size per-KF observation table (pixel obs, octave,
+  stereo flag, landmark id) — the equivalent of KeyFrame::localMapPoints /
+  MapPoint::kFMatches back-pointers, stored flat;
+- host mirrors: slot counters, per-KF landmark-id table (numpy) for
+  covisibility queries, per-landmark bookkeeping (outlier ages, activity)
+  that steers host control flow without device round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MapArrays:
+    """Device-resident map storage (a pytree; all updates functional)."""
+
+    lm_pos: jax.Array  # (P, 3) f32 world positions
+    lm_desc: jax.Array  # (P, 256) int8 +-1
+    lm_maxdist: jax.Array  # (P,) f32 scale band upper
+    lm_mindist: jax.Array  # (P,) f32 scale band lower
+    lm_valid: jax.Array  # (P,) bool
+    kf_pose: jax.Array  # (W, 4, 4) f32 cam-to-world
+    kf_valid: jax.Array  # (W,) bool
+    obs_uv: jax.Array  # (W, K, 3) f32 [u_l, v_l, u_r]
+    obs_oct: jax.Array  # (W, K) int32
+    obs_stereo: jax.Array  # (W, K) bool
+    obs_lm: jax.Array  # (W, K) int32 landmark slot or -1
+
+
+def make_map(lm_capacity: int = 1 << 16, kf_capacity: int = 512, keys_per_kf: int = 2048) -> MapArrays:
+    P, W, K = lm_capacity, kf_capacity, keys_per_kf
+    return MapArrays(
+        lm_pos=jnp.zeros((P, 3), jnp.float32),
+        lm_desc=jnp.zeros((P, 256), jnp.int8),
+        lm_maxdist=jnp.zeros((P,), jnp.float32),
+        lm_mindist=jnp.zeros((P,), jnp.float32),
+        lm_valid=jnp.zeros((P,), bool),
+        kf_pose=jnp.tile(jnp.eye(4, dtype=jnp.float32), (W, 1, 1)),
+        kf_valid=jnp.zeros((W,), bool),
+        obs_uv=jnp.zeros((W, K, 3), jnp.float32),
+        obs_oct=jnp.zeros((W, K), jnp.int32),
+        obs_stereo=jnp.zeros((W, K), bool),
+        obs_lm=jnp.full((W, K), -1, jnp.int32),
+    )
+
+
+@jax.jit
+def scatter_landmarks(
+    m: MapArrays,
+    slots: jax.Array,  # (S,) int32 target slots (may repeat a dump slot)
+    pos: jax.Array,  # (S, 3)
+    desc: jax.Array,  # (S, 256) int8
+    maxdist: jax.Array,  # (S,)
+    mindist: jax.Array,  # (S,)
+    valid: jax.Array,  # (S,) bool — invalid rows scatter to the dump slot
+) -> MapArrays:
+    """Insert/overwrite landmarks. Invalid rows are redirected to the last
+    slot (a scratch slot that is never marked valid)."""
+    P = m.lm_pos.shape[0]
+    dump = P - 1
+    s = jnp.where(valid, slots, dump)
+    return dataclasses.replace(
+        m,
+        lm_pos=m.lm_pos.at[s].set(pos),
+        lm_desc=m.lm_desc.at[s].set(desc),
+        lm_maxdist=m.lm_maxdist.at[s].set(maxdist),
+        lm_mindist=m.lm_mindist.at[s].set(mindist),
+        lm_valid=m.lm_valid.at[s].set(valid).at[dump].set(False),
+    )
+
+
+@jax.jit
+def scatter_keyframe(
+    m: MapArrays,
+    kf_slot: jax.Array,  # () int32
+    pose: jax.Array,  # (4, 4)
+    obs_uv: jax.Array,  # (K, 3)
+    obs_oct: jax.Array,  # (K,)
+    obs_stereo: jax.Array,  # (K,)
+    obs_lm: jax.Array,  # (K,) landmark slot or -1
+) -> MapArrays:
+    return dataclasses.replace(
+        m,
+        kf_pose=m.kf_pose.at[kf_slot].set(pose),
+        kf_valid=m.kf_valid.at[kf_slot].set(True),
+        obs_uv=m.obs_uv.at[kf_slot].set(obs_uv),
+        obs_oct=m.obs_oct.at[kf_slot].set(obs_oct),
+        obs_stereo=m.obs_stereo.at[kf_slot].set(obs_stereo),
+        obs_lm=m.obs_lm.at[kf_slot].set(obs_lm),
+    )
+
+
+@jax.jit
+def writeback_ba(
+    m: MapArrays,
+    kf_slots: jax.Array,  # (Wb,) int32 (pad with kf capacity-1 + valid mask)
+    kf_valid: jax.Array,  # (Wb,) bool
+    new_poses: jax.Array,  # (Wb, 4, 4)
+    lm_slots: jax.Array,  # (Lb,) int32
+    lm_keep: jax.Array,  # (Lb,) bool — landmarks to keep (others untouched)
+    new_pts: jax.Array,  # (Lb, 3)
+    obs_kill_kf: jax.Array,  # (Ob,) int32 kf slot of observations to sever
+    obs_kill_key: jax.Array,  # (Ob,) int32 key slot
+    obs_kill: jax.Array,  # (Ob,) bool
+) -> MapArrays:
+    """Apply local-BA results under snapshot semantics (replaces the
+    write-back under mapMutex at reference src/OptimizationBA.cpp:875-938):
+    set optimized KF poses and landmark positions, sever wrong matches."""
+    kf_pose = m.kf_pose.at[jnp.where(kf_valid, kf_slots, m.kf_pose.shape[0] - 1)].set(
+        jnp.where(kf_valid[:, None, None], new_poses, m.kf_pose[kf_slots])
+    )
+    P = m.lm_pos.shape[0]
+    ls = jnp.where(lm_keep, lm_slots, P - 1)
+    lm_pos = m.lm_pos.at[ls].set(jnp.where(lm_keep[:, None], new_pts, m.lm_pos[lm_slots]))
+    kk = jnp.where(obs_kill, obs_kill_kf, m.obs_lm.shape[0] - 1)
+    kc = jnp.where(obs_kill, obs_kill_key, 0)
+    obs_lm = m.obs_lm.at[kk, kc].set(
+        jnp.where(obs_kill, -1, m.obs_lm[kk, kc])
+    )
+    return dataclasses.replace(m, kf_pose=kf_pose, lm_pos=lm_pos, obs_lm=obs_lm)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def gather_active(m: MapArrays, ids: jax.Array, size: int):
+    """Compact (A,) landmark slots -> active-set arrays for tracking.
+    ids must be padded with -1 to `size`."""
+    valid = ids >= 0
+    safe = jnp.where(valid, ids, 0)
+    return {
+        "ids": ids,
+        "pos": m.lm_pos[safe],
+        "desc": m.lm_desc[safe],
+        "maxdist": m.lm_maxdist[safe],
+        "mindist": m.lm_mindist[safe],
+        "valid": valid & m.lm_valid[safe],
+    }
+
+
+class WorldMap:
+    """Host-side facade: slot allocation, covisibility, host mirrors.
+
+    The device arrays live in `self.arrays`; everything here is cheap
+    numpy bookkeeping (the reference's Map id counters and KeyFrame
+    covisibility graph, src/Map.cpp:295-300, src/KeyFrame.cpp:103-145).
+    """
+
+    def __init__(self, lm_capacity=1 << 16, kf_capacity=512, keys_per_kf=2048):
+        self.arrays = make_map(lm_capacity, kf_capacity, keys_per_kf)
+        self.lm_capacity = lm_capacity
+        self.kf_capacity = kf_capacity
+        self.keys_per_kf = keys_per_kf
+        self.n_landmarks = 0
+        self.n_keyframes = 0
+        # host mirrors
+        self.kf_obs_lm = np.full((kf_capacity, keys_per_kf), -1, np.int64)
+        self.kf_frame_idx = np.full(kf_capacity, -1, np.int64)
+        self.kf_poses_host = np.tile(np.eye(4, dtype=np.float32), (kf_capacity, 1, 1))
+        self.lm_first_kf = np.full(lm_capacity, -1, np.int64)
+
+    def alloc_landmarks(self, count: int) -> np.ndarray:
+        """Reserve `count` slots (the reference's map->pIdx counter)."""
+        start = self.n_landmarks
+        end = min(start + count, self.lm_capacity - 1)
+        self.n_landmarks = end
+        return np.arange(start, end, dtype=np.int32)
+
+    def alloc_keyframe(self, frame_idx: int) -> int:
+        slot = self.n_keyframes
+        if slot >= self.kf_capacity:
+            raise RuntimeError("keyframe capacity exceeded")
+        self.n_keyframes += 1
+        self.kf_frame_idx[slot] = frame_idx
+        return slot
+
+    def covisible_kfs(self, kf_slot: int, max_n: int = 10, min_weight: int = 15) -> np.ndarray:
+        """Covisibility neighbors by shared-landmark count (reference
+        KeyFrame::calcConnections weight >= 15, src/KeyFrame.cpp:103-145;
+        N-best at 87-101). Returns slots sorted by weight, excluding self."""
+        ids = self.kf_obs_lm[kf_slot]
+        ids = ids[ids >= 0]
+        if len(ids) == 0 or self.n_keyframes <= 1:
+            return np.zeros((0,), np.int64)
+        others = np.arange(self.n_keyframes)
+        weights = np.zeros(self.n_keyframes, np.int64)
+        idset = set(ids.tolist())
+        for o in others:
+            if o == kf_slot:
+                continue
+            oids = self.kf_obs_lm[o]
+            oids = oids[oids >= 0]
+            weights[o] = np.isin(oids, ids).sum()
+        cand = others[(weights >= min_weight) & (others != kf_slot)]
+        cand = cand[np.argsort(-weights[cand])]
+        if len(cand) == 0:
+            # fall back to the most recent previous KF so BA always has >= 2
+            prev = kf_slot - 1
+            return np.array([prev], np.int64) if prev >= 0 else np.zeros((0,), np.int64)
+        return cand[:max_n]

@@ -1,0 +1,247 @@
+"""Local bundle adjustment: batched LM with an explicit Schur complement.
+
+Re-design of the reference's GTSAM local BA
+(LocalMapper::localBA, src/OptimizationBA.cpp:426-940). The reference
+builds a NonlinearFactorGraph with projection factors per (landmark, KF)
+observation, NonlinearEquality gauge on fixed KFs, a sequential-KF odometry
+BetweenFactor chain (sigma 0.01, lines 750-768), and relies on a
+landmarks-first elimination ordering (770-771, 942-953) — an implicit
+Schur complement.
+
+Here the Schur complement is explicit, blocked, dense linear algebra (the
+BASELINE.json north star): per-observation Jacobians are batched with
+vmap(jacfwd); landmark 3x3 blocks are eliminated analytically; the reduced
+camera system is a dense (6W x 6W) solve; landmark updates come from
+back-substitution. Everything is fixed-shape: W pose slots, L landmark
+slots, O observation slots, all masked. One LM iteration = one fused XLA
+program; the 5/10-iteration rounds with the inter-round chi-squared sweep
+(reference 543-873) are driven by the caller.
+
+This same kernel is what vslam_tpu.parallel shards across the device mesh:
+the reduced-system assembly is a sum over landmark blocks, so each shard
+computes partial (6W x 6W) contributions that are combined with psum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.geometry import se3
+
+CHI2_THR = 7.815  # reference include/OptimizationBA.h:44
+ODOMETRY_SIGMA = 0.01  # reference src/OptimizationBA.cpp:751
+
+
+class BAProblem(NamedTuple):
+    poses: jax.Array  # (W, 4, 4) cam-to-world
+    fixed: jax.Array  # (W,) bool — gauge-fixed KFs (NonlinearEquality analog)
+    pose_valid: jax.Array  # (W,) bool
+    pts: jax.Array  # (L, 3)
+    pt_valid: jax.Array  # (L,) bool
+    obs_kf: jax.Array  # (O,) int32 -> pose slot
+    obs_lm: jax.Array  # (O,) int32 -> landmark slot
+    obs_uv: jax.Array  # (O, 3) [u_l, v_l, u_r]
+    obs_stereo: jax.Array  # (O,) bool — has right-x row
+    obs_w: jax.Array  # (O,) sqrt information (1/sigma, octave-scaled)
+    obs_valid: jax.Array  # (O,) bool
+    K: jax.Array  # (3, 3)
+    baseline: jax.Array  # ()
+    odo_rel: jax.Array  # (W-1, 4, 4) measured relative poses T_i^-1 T_{i+1}
+    odo_valid: jax.Array  # (W-1,) bool — consecutive-KF chain links
+
+
+def _project_residual(T_wc, pt, uv, is_stereo, K, baseline):
+    """(3,) residual [du_l, dv_l, du_r] for one observation."""
+    T_cw = se3.inverse(T_wc)
+    pc = T_cw[:3, :3] @ pt + T_cw[:3, 3]
+    z = jnp.maximum(pc[2], 0.05)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    r_u = fx * pc[0] / z + cx - uv[0]
+    r_v = fy * pc[1] / z + cy - uv[1]
+    r_ur = jnp.where(is_stereo, fx * (pc[0] - baseline) / z + cx - uv[2], 0.0)
+    behind = pc[2] <= 0.05
+    return jnp.where(behind, 0.0, jnp.stack([r_u, r_v, r_ur]))
+
+
+def _obs_residual_and_jacobians(p: BAProblem):
+    """Batched residuals (O,3) and Jacobians (O,3,6) wrt pose tangent,
+    (O,3,3) wrt point, all pre-weighted by obs_w and masked."""
+    T_o = p.poses[p.obs_kf]  # (O,4,4)
+    pt_o = p.pts[p.obs_lm]  # (O,3)
+
+    def f(T, pt, uv, st, dpose, dpt):
+        return _project_residual(
+            se3.retract(T, dpose), pt + dpt, uv, st, p.K, p.baseline
+        )
+
+    zeros6 = jnp.zeros(6, jnp.float32)
+    zeros3 = jnp.zeros(3, jnp.float32)
+
+    def per_obs(T, pt, uv, st):
+        r = f(T, pt, uv, st, zeros6, zeros3)
+        Jp = jax.jacfwd(lambda d: f(T, pt, uv, st, d, zeros3))(zeros6)
+        Jl = jax.jacfwd(lambda d: f(T, pt, uv, st, zeros6, d))(zeros3)
+        return r, Jp, Jl
+
+    r, Jp, Jl = jax.vmap(per_obs)(T_o, pt_o, p.obs_uv, p.obs_stereo)
+    w = jnp.where(p.obs_valid, p.obs_w, 0.0)[:, None]
+    return r * w, Jp * w[..., None], Jl * w[..., None]
+
+
+def _odometry_residual_and_jacobians(p: BAProblem):
+    """Between-factor chain: r = log(odo_rel^-1 (T_i^-1 T_j)) / sigma,
+    with Jacobians wrt both pose tangents. Returns (W-1,6) residuals and
+    (W-1,6,6) J_i, J_j."""
+    Ti = p.poses[:-1]
+    Tj = p.poses[1:]
+
+    def f(Ti_, Tj_, rel, di, dj):
+        Ti_r = se3.retract(Ti_, di)
+        Tj_r = se3.retract(Tj_, dj)
+        return se3.se3_logmap(se3.inverse(rel) @ se3.inverse(Ti_r) @ Tj_r)
+
+    z6 = jnp.zeros(6, jnp.float32)
+
+    def per_link(Ti_, Tj_, rel):
+        r = f(Ti_, Tj_, rel, z6, z6)
+        Ji = jax.jacfwd(lambda d: f(Ti_, Tj_, rel, d, z6))(z6)
+        Jj = jax.jacfwd(lambda d: f(Ti_, Tj_, rel, z6, d))(z6)
+        return r, Ji, Jj
+
+    r, Ji, Jj = jax.vmap(per_link)(Ti, Tj, p.odo_rel)
+    w = jnp.where(p.odo_valid, 1.0 / ODOMETRY_SIGMA, 0.0)[:, None]
+    return r * w, Ji * w[..., None], Jj * w[..., None]
+
+
+def ba_error(p: BAProblem) -> jax.Array:
+    r, _, _ = _obs_residual_and_jacobians(p)
+    ro, _, _ = _odometry_residual_and_jacobians(p)
+    return 0.5 * (jnp.sum(r * r) + jnp.sum(ro * ro))
+
+
+def _assemble(p: BAProblem):
+    """Build the blocked normal equations."""
+    W = p.poses.shape[0]
+    L = p.pts.shape[0]
+    r, Jp, Jl = _obs_residual_and_jacobians(p)
+
+    # zero out Jacobians for fixed poses (gauge, NonlinearEquality analog)
+    free = (~p.fixed) & p.pose_valid
+    Jp = Jp * free[p.obs_kf][:, None, None]
+
+    Hpp = jnp.zeros((W, W, 6, 6))
+    Hll = jnp.einsum("oik,oil->okl", Jl, Jl)  # summed later by scatter
+    Hll = jnp.zeros((L, 3, 3)).at[p.obs_lm].add(
+        jnp.einsum("oik,oil->okl", Jl, Jl)
+    )
+    Hpp = Hpp.at[p.obs_kf, p.obs_kf].add(jnp.einsum("oik,oil->okl", Jp, Jp))
+    Hpl = jnp.zeros((W, L, 6, 3)).at[p.obs_kf, p.obs_lm].add(
+        jnp.einsum("oik,oil->okl", Jp, Jl)
+    )
+    gp = jnp.zeros((W, 6)).at[p.obs_kf].add(jnp.einsum("oik,oi->ok", Jp, r))
+    gl = jnp.zeros((L, 3)).at[p.obs_lm].add(jnp.einsum("oik,oi->ok", Jl, r))
+
+    # odometry chain contributions
+    ro, Ji, Jj = _odometry_residual_and_jacobians(p)
+    Ji = Ji * free[:-1][:, None, None]
+    Jj = Jj * free[1:][:, None, None]
+    idx_i = jnp.arange(W - 1)
+    idx_j = idx_i + 1
+    Hpp = Hpp.at[idx_i, idx_i].add(jnp.einsum("oik,oil->okl", Ji, Ji))
+    Hpp = Hpp.at[idx_j, idx_j].add(jnp.einsum("oik,oil->okl", Jj, Jj))
+    Hpp = Hpp.at[idx_i, idx_j].add(jnp.einsum("oik,oil->okl", Ji, Jj))
+    Hpp = Hpp.at[idx_j, idx_i].add(jnp.einsum("oik,oil->okl", Jj, Ji))
+    gp = gp.at[idx_i].add(jnp.einsum("oik,oi->ok", Ji, ro))
+    gp = gp.at[idx_j].add(jnp.einsum("oik,oi->ok", Jj, ro))
+
+    return Hpp, Hll, Hpl, gp, gl
+
+
+def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam):
+    """Damped Schur-complement solve -> (delta_pose (W,6), delta_pt (L,3))."""
+    W = p.poses.shape[0]
+    L = p.pts.shape[0]
+    eye3 = jnp.eye(3)
+    eye6 = jnp.eye(6)
+
+    # LM damping on block diagonals
+    Hll_d = Hll + lam * eye3[None] * jnp.maximum(
+        jnp.einsum("lii->l", Hll)[:, None, None] / 3.0, 1e-6
+    )
+    # make invalid/unobserved landmark blocks identity (delta stays 0: g=0)
+    observed = jnp.einsum("lii->l", Hll) > 1e-12
+    Hll_d = jnp.where(observed[:, None, None], Hll_d, eye3[None])
+    Hll_inv = jnp.linalg.inv(Hll_d)
+
+    # reduced camera system S = Hpp - Hpl Hll^-1 Hlp  (sum over landmarks)
+    S = Hpp - jnp.einsum("alij,ljk,blmk->abim", Hpl, Hll_inv, Hpl)
+    b = gp - jnp.einsum("alij,ljk,lk->ai", Hpl, Hll_inv, gl)
+
+    free = (~p.fixed) & p.pose_valid
+    diagW = jnp.einsum("aaii->a", S.reshape(W, W, 6, 6)[:, :, :, :])
+    S = S + lam * eye6[None, None] * jnp.where(
+        jnp.eye(W, dtype=bool)[:, :, None, None],
+        jnp.maximum(diagW / 6.0, 1e-6)[:, None, None, None],
+        0.0,
+    )
+    # freeze fixed/invalid poses: identity rows/cols
+    fm = free[:, None] & free[None, :]
+    S = jnp.where(fm[:, :, None, None], S, 0.0)
+    S = S + jnp.where(
+        (jnp.eye(W, dtype=bool) & ~jnp.diag(free))[:, :, None, None], eye6, 0.0
+    )
+    b = jnp.where(free[:, None], b, 0.0)
+
+    S_dense = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+    delta_p = jnp.linalg.solve(S_dense, -b.reshape(-1)).reshape(W, 6)
+
+    # back-substitute landmarks: dl = Hll^-1 (-gl - Hlp dp)
+    rhs = -gl - jnp.einsum("alij,ai->lj", Hpl, delta_p)
+    delta_l = jnp.einsum("ljk,lk->lj", Hll_inv, rhs)
+    delta_l = jnp.where((observed & p.pt_valid)[:, None], delta_l, 0.0)
+    return delta_p, delta_l
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def local_ba(p: BAProblem, iters: int = 5, lambda0: float = 1e-4):
+    """Run `iters` LM iterations; returns (updated problem, final error,
+    final lambda). Accept/reject per iteration like GTSAM LM."""
+
+    err0 = ba_error(p)
+
+    def body(_, carry):
+        p, lam, err = carry
+        Hpp, Hll, Hpl, gp, gl = _assemble(p)
+        dp, dl = _schur_solve(p, Hpp, Hll, Hpl, gp, gl, lam)
+        new_poses = jax.vmap(se3.retract)(p.poses, dp)
+        new_pts = p.pts + dl
+        p_new = p._replace(poses=new_poses, pts=new_pts)
+        new_err = ba_error(p_new)
+        improved = new_err < err
+        p = jax.tree.map(lambda a, b: jnp.where(improved, b, a), p, p_new)
+        lam = jnp.clip(
+            jnp.where(improved, lam * 0.1, lam * 10.0), 1e-9, 1e6
+        )
+        err = jnp.minimum(err, new_err)
+        return (p, lam, err)
+
+    p, lam, err = jax.lax.fori_loop(
+        0, iters, body, (p, jnp.float32(lambda0), err0)
+    )
+    return p, err, lam
+
+
+@jax.jit
+def obs_chi2(p: BAProblem) -> jax.Array:
+    """Per-observation chi^2 (unwhitened pixel errors x information), for
+    the inter-round outlier sweep (reference src/OptimizationBA.cpp:788-871)."""
+    T_o = p.poses[p.obs_kf]
+    pt_o = p.pts[p.obs_lm]
+    r = jax.vmap(
+        lambda T, pt, uv, st: _project_residual(T, pt, uv, st, p.K, p.baseline)
+    )(T_o, pt_o, p.obs_uv, p.obs_stereo)
+    return jnp.sum(r * r, axis=-1) * (p.obs_w**2)

@@ -42,13 +42,18 @@ def _smooth_trajectory(n_frames: int, dt: float, speed: float = 1.2, yaw_rate: f
     return ts, poses, pos, rotvec
 
 
-def _make_patch(rng: np.random.Generator, size: int = 9) -> np.ndarray:
+def _make_patch(rng: np.random.Generator, size: int = 13) -> np.ndarray:
     """A high-contrast blob that triggers FAST and has a distinctive BRIEF
-    signature: random binary texture smoothed once, with a bright core."""
+    signature: random binary texture with a bright core placed OFF-CENTER,
+    so the intensity-centroid orientation is well-defined and stable
+    across views (symmetric blobs have degenerate ORB angles)."""
     p = rng.uniform(0.0, 1.0, size=(size, size))
-    p = (p > 0.5).astype(np.float32) * 180.0 + 30.0
+    p = (p > 0.5).astype(np.float32) * 170.0 + 30.0
     c = size // 2
-    p[c - 1 : c + 2, c - 1 : c + 2] = 250.0
+    # off-center bright core: deterministic direction per patch
+    oy, ox = rng.integers(-2, 3, size=2)
+    p[c - 1 + oy : c + 2 + oy, c - 1 + ox : c + 2 + ox] = 250.0
+    p[c, c] = 240.0
     return p
 
 
@@ -62,6 +67,7 @@ class SyntheticScene:
     patches: np.ndarray  # (P, S, S)
     times: np.ndarray  # (N,)
     poses_c2w: np.ndarray  # (N, 4, 4) left-camera-to-world
+    velocities: np.ndarray  # (N, 3) exact world-frame velocity at frame times
     imu: np.ndarray  # (M, 7) [t, gyro, accel] exact body-frame samples
     imu_hz: float
 
@@ -155,6 +161,8 @@ def make_scene(
     accel = np.einsum("nji,nj->ni", R_t, spec_force_w)  # body frame: R^T f_w
     imu = np.concatenate([t_imu[:, None], gyro, accel], axis=1)
 
+    vel = (pos_fn(ts + eps) - pos_fn(ts - eps)) / (2 * eps)
+
     return SyntheticScene(
         width=width,
         height=height,
@@ -164,6 +172,7 @@ def make_scene(
         patches=patches,
         times=ts,
         poses_c2w=poses,
+        velocities=vel,
         imu=imu,
         imu_hz=imu_hz,
     )
