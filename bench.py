@@ -13,12 +13,25 @@ comparison point.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _setup_cache():
+    """Persistent XLA compilation cache: first-ever run pays the TPU
+    compiles (~20-40s each), every run after loads from disk."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
+    _setup_cache()
     from vslam_tpu.models import local_mapper, map_state, tracker
     from vslam_tpu.utils import synthetic, trajectory
 
@@ -33,8 +46,15 @@ def main():
     )
     mapper = local_mapper.LocalMapper(world, scene.K.astype(np.float32), scene.baseline)
 
-    # pre-render all frames (host-side input, excluded from timing)
-    frames = [(scene.render(f), scene.render(f, right=True)) for f in range(n_frames)]
+    # pre-render all frames (host-side input, excluded from timing);
+    # uint8 like a real camera feed — cast to f32 happens on device
+    frames = [
+        (
+            scene.render(f).astype(np.uint8),
+            scene.render(f, right=True).astype(np.uint8),
+        )
+        for f in range(n_frames)
+    ]
 
     def step(f):
         n_kf = len(trk.new_kf_slots)
@@ -42,6 +62,7 @@ def main():
         if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
             r = mapper.run(trk.new_kf_slots[-1])
             trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+            trk.add_active(r["new_lm_ids"])
 
     warmup = 12
     for f in range(warmup):

@@ -1,0 +1,79 @@
+"""Checkpoint/resume + visualization export (SURVEY.md §5: subsystems the
+reference lacks entirely — designed here, not ported)."""
+
+import numpy as np
+import pytest
+
+from vslam_tpu.models import map_state, tracker
+from vslam_tpu.utils import checkpoint, synthetic, viz
+
+
+@pytest.fixture(scope="module")
+def tracked_world():
+    scene = synthetic.make_scene(
+        n_frames=8, n_points=400, width=320, height=240, fps=10.0, seed=7
+    )
+    params = tracker.TrackerParams(
+        n_features=512, n_levels=4, active_size=1024, spawn_per_kf=256, kf_min_stereo=60
+    )
+    world = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=512)
+    trk = tracker.StereoTracker(
+        scene.K.astype(np.float32), scene.baseline, scene.width, scene.height, world, params
+    )
+    for f in range(6):
+        trk.track(scene.render(f), scene.render(f, right=True))
+    return scene, params, world, trk
+
+
+def test_checkpoint_roundtrip_bitexact(tmp_path, tracked_world):
+    scene, params, world, trk = tracked_world
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_checkpoint(path, world, trk)
+
+    world2 = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=512)
+    trk2 = tracker.StereoTracker(
+        scene.K.astype(np.float32), scene.baseline, scene.width, scene.height, world2, params
+    )
+    meta = checkpoint.load_checkpoint(path, world2, trk2)
+    assert meta["n_keyframes"] == world.n_keyframes
+    np.testing.assert_array_equal(np.asarray(world2.arrays.lm_pos), np.asarray(world.arrays.lm_pos))
+    np.testing.assert_array_equal(np.asarray(world2.arrays.obs_lm), np.asarray(world.arrays.obs_lm))
+    np.testing.assert_array_equal(world2.kf_obs_lm, world.kf_obs_lm)
+    np.testing.assert_array_equal(trk2.pose, trk.pose)
+    np.testing.assert_array_equal(trk2.active_ids, trk.active_ids)
+
+    # resumed run continues: track two more frames on both, poses identical
+    p_a = trk.track(scene.render(6), scene.render(6, right=True))
+    p_b = trk2.track(scene.render(6), scene.render(6, right=True))
+    np.testing.assert_allclose(p_a, p_b, atol=1e-5)
+
+
+def test_checkpoint_capacity_mismatch_raises(tmp_path, tracked_world):
+    _, _, world, trk = tracked_world
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_checkpoint(path, world)
+    other = map_state.WorldMap(lm_capacity=4096, kf_capacity=64, keys_per_kf=512)
+    with pytest.raises(ValueError, match="lm_capacity"):
+        checkpoint.load_checkpoint(path, other)
+
+
+def test_viz_exports(tmp_path, tracked_world):
+    _, _, world, trk = tracked_world
+    traj = trk.trajectory()
+    ply = tmp_path / "map.ply"
+    html = tmp_path / "map.html"
+    viz.export_ply(str(ply), world, traj)
+    viz.export_html(str(html), world, traj)
+    txt = ply.read_text()
+    assert txt.startswith("ply")
+    n_expect = int(np.asarray(world.arrays.lm_valid).sum()) + len(traj)
+    assert f"element vertex {n_expect}" in txt
+    page = html.read_text()
+    assert "landmarks" in page and "frusta" in page
+    # embedded data is valid JSON
+    import json
+
+    start = page.index("const DATA = ") + len("const DATA = ")
+    end = page.index(";\n", start)
+    data = json.loads(page[start:end])
+    assert len(data["frusta"]) == world.n_keyframes

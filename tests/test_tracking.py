@@ -74,3 +74,129 @@ def test_stereo_tracking_with_local_ba(scene, small_params):
     assert len(traj) == n
     ate2 = trajectory.ate_rmse(traj, gt, align=False)
     assert ate2 < 0.1, ate2
+
+
+def test_stereo_imu_tracking_follows_ground_truth(scene, small_params):
+    """Visual-inertial tracking (reference TrackStereoIMU path with
+    CombinedImuFactor, src/FeatureTracker.cpp:301-387) on exact synthetic
+    IMU: pose follows ground truth and the velocity state converges to the
+    true world-frame velocity."""
+    from vslam_tpu.utils import datasets, synthetic as syn
+
+    imu_cfg = tracker.ImuConfig(
+        gyro_noise=1.7e-4,
+        accel_noise=2e-3,
+        gyro_walk=1.9e-5,
+        accel_walk=3e-3,
+        hz=scene.imu_hz,
+        T_bc=np.eye(4, dtype=np.float32),  # synthetic body == left camera
+        gravity_w=syn.GRAVITY_W.astype(np.float32),
+    )
+    world = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=small_params.n_features)
+    trk = tracker.StereoTracker(
+        scene.K.astype(np.float32), scene.baseline, scene.width, scene.height,
+        world, small_params, imu_cfg=imu_cfg,
+    )
+    # the synthetic trajectory starts already moving; the reference's VI
+    # bootstrap assumes starting at rest (EuRoC MAV on the ground), so seed
+    # the true initial velocity — what a rest-start gives for free.
+    trk.velocity = scene.velocities[0].astype(np.float32)
+    bins = datasets.bin_imu_per_frame(scene.imu, scene.times)
+    n = 10
+    prev_t = None
+    poses = []
+    for f in range(n):
+        rows = bins[f]
+        dt_rows = None
+        if len(rows):
+            t = rows[:, 0]
+            p0 = prev_t if prev_t is not None else t[0] - 1.0 / scene.imu_hz
+            dts = np.diff(np.concatenate([[p0], t]))
+            prev_t = float(t[-1])
+            dt_rows = np.concatenate([dts[:, None], rows[:, 1:7]], axis=1).astype(np.float32)
+        poses.append(trk.track(scene.render(f), scene.render(f, right=True), imu=dt_rows))
+    poses = np.stack(poses)
+    gt = scene.poses_c2w[:n]
+    ate = trajectory.ate_rmse(poses, gt, align=False)
+    assert ate < 0.08, ate
+    v_err = np.linalg.norm(trk.velocity - scene.velocities[n - 1])
+    assert v_err < 0.5, (trk.velocity, scene.velocities[n - 1])
+
+
+def test_mono_imu_tracking_follows_ground_truth(scene, small_params):
+    """Monocular-inertial pipeline (reference TrackImageMonoIMU +
+    VIOSlamMono driver): IMU bootstrap with 3 motion-gated keyframes,
+    multi-view mono triangulation for the initial map, then projection+IMU
+    tracking. Metric scale comes from the IMU dead-reckoned baselines."""
+    from vslam_tpu.utils import datasets, synthetic as syn
+
+    imu_cfg = tracker.ImuConfig(
+        gyro_noise=1.7e-4, accel_noise=2e-3, gyro_walk=1.9e-5, accel_walk=3e-3,
+        hz=scene.imu_hz, T_bc=np.eye(4, dtype=np.float32),
+        gravity_w=syn.GRAVITY_W.astype(np.float32),
+    )
+    world = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=small_params.n_features)
+    trk = tracker.MonoTracker(
+        scene.K.astype(np.float32), scene.width, scene.height, world,
+        small_params, imu_cfg=imu_cfg,
+    )
+    mapper = local_mapper.LocalMapper(world, scene.K.astype(np.float32), 0.0)
+    trk.velocity = scene.velocities[0].astype(np.float32)
+    bins = datasets.bin_imu_per_frame(scene.imu, scene.times)
+    n = 12
+    prev_t = None
+    poses = []
+    for f in range(n):
+        rows = bins[f]
+        dt_rows = None
+        if len(rows):
+            t = rows[:, 0]
+            p0 = prev_t if prev_t is not None else t[0] - 1.0 / scene.imu_hz
+            dts = np.diff(np.concatenate([[p0], t]))
+            prev_t = float(t[-1])
+            dt_rows = np.concatenate([dts[:, None], rows[:, 1:7]], axis=1).astype(np.float32)
+        poses.append(trk.track(scene.render(f), imu=dt_rows))
+        if trk.needs_init_triangulation:
+            ids = mapper.find_new_points(trk.new_kf_slots[-1], mono=True)
+            trk.add_active(ids)
+            trk.needs_init_triangulation = False
+            trk.last_kf_tracked = max(len(ids), 1)
+            assert len(ids) > 20, "mono init triangulated too few landmarks"
+    assert trk.initialized
+    poses = np.stack(poses)
+    gt = scene.poses_c2w[:n]
+    ate = trajectory.ate_rmse(poses, gt, align=False)
+    # mono + exact IMU: metric-scale tracking should stay within ~15 cm
+    assert ate < 0.15, ate
+
+
+def test_multiview_triangulation_creates_accurate_landmarks(scene, small_params):
+    """The local mapper's findNewPoints analog must spawn multi-view
+    landmarks that land near true scene points (reference
+    src/OptimizationBA.cpp:340-391 + triangulatePoint3 validation)."""
+    world = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=small_params.n_features)
+    trk = tracker.StereoTracker(
+        scene.K.astype(np.float32), scene.baseline, scene.width, scene.height, world, small_params
+    )
+    mapper = local_mapper.LocalMapper(world, scene.K.astype(np.float32), scene.baseline)
+    new_ids = []
+    for f in range(12):
+        n_kf = len(trk.new_kf_slots)
+        trk.track(scene.render(f), scene.render(f, right=True))
+        if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
+            r = mapper.run(trk.new_kf_slots[-1])
+            trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+            trk.add_active(r["new_lm_ids"])
+            new_ids.extend(r["new_lm_ids"].tolist())
+    assert len(new_ids) > 0, "triangulation never fired"
+    pos = np.asarray(world.arrays.lm_pos)[np.asarray(new_ids)]
+    valid = np.asarray(world.arrays.lm_valid)[np.asarray(new_ids)]
+    assert valid.all()
+    # each triangulated landmark should be close to SOME true scene point.
+    # Bound is depth-uncertainty-limited: the synthetic renderer quantizes
+    # observations to ~1 px (320x240), so a far point's along-ray error is
+    # ~z^2/(f*b) per pixel — ~1 m at z=15 m. The cross-ray component is
+    # what triangulation controls; the 3D bound below reflects both.
+    d = np.linalg.norm(pos[:, None, :] - scene.points_w[None, :, :], axis=-1)
+    nearest = d.min(axis=1)
+    assert np.median(nearest) < 1.0, np.median(nearest)

@@ -60,6 +60,43 @@ def triangulate_dlt(
     return X[..., :3] / safe_w[..., None]
 
 
+def refine_triangulation(
+    pts_w: jax.Array,  # (C, 3) DLT initial points
+    P: jax.Array,  # (V, 3, 4) or (C, V, 3, 4)
+    uv: jax.Array,  # (C, V, 2)
+    view_mask: jax.Array,  # (C, V)
+    iters: int = 3,
+) -> jax.Array:
+    """Batched Gauss-Newton polish of triangulated points on reprojection
+    error (the nonlinear refinement inside gtsam::triangulatePoint3 used at
+    reference src/OptimizationBA.cpp:187). 3x3 normal equations per
+    candidate, all candidates solved at once."""
+    if P.ndim == 3:
+        P = jnp.broadcast_to(P[None], (uv.shape[0],) + P.shape)
+    A = P[..., :3]  # (C, V, 3, 3)
+    a = P[..., 3]  # (C, V, 3)
+
+    def step(X, _):
+        p = jnp.einsum("cvij,cj->cvi", A, X) + a  # (C, V, 3)
+        z = p[..., 2]
+        safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        r = p[..., :2] / safe_z[..., None] - uv  # (C, V, 2)
+        # d(u)/dX = (A0 - u_hat * A2) / z, same for v
+        uvhat = p[..., :2] / safe_z[..., None]
+        J = (A[..., :2, :] - uvhat[..., None] * A[..., 2:3, :]) / safe_z[..., None, None]
+        Jm = jnp.where(view_mask[..., None, None], J, 0.0)
+        rm = jnp.where(view_mask[..., None], r, 0.0)
+        H = jnp.einsum("cvri,cvrj->cij", Jm, Jm) + 1e-6 * jnp.eye(3)
+        b = jnp.einsum("cvri,cvr->ci", Jm, rm)
+        dX = jnp.linalg.solve(H, -b[..., None])[..., 0]
+        # guard: only move if the update is finite
+        dX = jnp.where(jnp.isfinite(dX), dX, 0.0)
+        return X + dX, None
+
+    X, _ = jax.lax.scan(step, pts_w, None, length=iters)
+    return X
+
+
 def validate_triangulation(
     pts_w: jax.Array,  # (C, 3)
     P: jax.Array,  # (V, 3, 4) or (C, V, 3, 4)

@@ -14,16 +14,344 @@ thread (device execution is async either way; see models/system.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vslam_tpu.geometry import se3, triangulate
 from vslam_tpu.models import map_state
-from vslam_tpu.ops import extract, schur
+from vslam_tpu.ops import extract, hamming, schur
 
 WINDOW = 12  # last KF + <=10 covisible + 1 pad (static shape)
 LM_SLOTS = 4096  # landmark slots per BA problem (static shape)
+SPAWN_TRI = 512  # new-landmark budget per triangulation pass (static shape)
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
+def _triangulate_new_points(
+    m: map_state.MapArrays,
+    window_slots: jax.Array,  # (V,) int32, newest LAST
+    window_valid: jax.Array,  # (V,) bool
+    spawn_slots: jax.Array,  # (SPAWN_TRI,) preallocated landmark slots
+    spawn_avail: jax.Array,  # (SPAWN_TRI,) bool
+    K: jax.Array,
+    baseline: jax.Array,
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """Multi-view triangulation of new landmarks (reference findNewPoints,
+    src/OptimizationBA.cpp:340-391): unmatched stereo keys of the newest KF
+    are projected into the covisibility window, matched by projection
+    (rad 4, thr 50, ratio 0.6 — matchByProjectionRPredLBA semantics,
+    src/FeatureMatcher.cpp:66-252), triangulated by batched DLT over all
+    observing views + the newest stereo pair, and validated with >= 3 views
+    and the chi-squared gate (checkReprojError, 14-88)."""
+    V = window_slots.shape[0]
+    newest = window_slots[V - 1]
+    Kk = m.obs_uv.shape[1]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    sf = jnp.asarray([scale**l for l in range(n_levels)], jnp.float32)
+
+    uv_n = m.obs_uv[newest]  # (Kk, 3)
+    oct_n = m.obs_oct[newest]
+    st_n = m.obs_stereo[newest]
+    lm_n = m.obs_lm[newest]
+    desc_n = m.obs_desc[newest]
+    valid_n = m.obs_valid[newest]
+    pose_n = m.kf_pose[newest]
+
+    disp = uv_n[:, 0] - uv_n[:, 2]
+    cand = valid_n & st_n & (lm_n < 0) & (disp > 0.05)
+    depth = fx * baseline / jnp.maximum(disp, 1e-6)
+    pc = jnp.stack(
+        [(uv_n[:, 0] - cx) / fx * depth, (uv_n[:, 1] - cy) / fy * depth, depth],
+        axis=-1,
+    )
+    pts_w0 = se3.transform_points(pose_n, pc)  # initial candidate positions
+
+    # --- match candidates into each older window KF (left camera) ---
+    def match_one_view(v):
+        slot = window_slots[v]
+        ok_view = window_valid[v] & (slot != newest)
+        pose_v = m.kf_pose[slot]
+        T_cw = se3.inverse(pose_v)
+        p_cam = se3.transform_points(T_cw, pts_w0)
+        z = p_cam[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        pu = fx * p_cam[:, 0] / zs + cx
+        pv = fy * p_cam[:, 1] / zs + cy
+
+        keys_uv = m.obs_uv[slot][:, :2]
+        keys_oct = m.obs_oct[slot]
+        keys_desc = m.obs_desc[slot]
+        keys_free = m.obs_valid[slot] & (m.obs_lm[slot] < 0)
+
+        d = hamming.hamming_matrix(desc_n, keys_desc, cand & (z > 0.0), keys_free)
+        rad = 4.0 * sf[jnp.clip(oct_n, 0, n_levels - 1)]
+        du = pu[:, None] - keys_uv[None, :, 0]
+        dv = pv[:, None] - keys_uv[None, :, 1]
+        dist2 = du * du + dv * dv
+        gate = (dist2 <= (rad * rad)[:, None]) & (
+            jnp.abs(keys_oct[None, :] - oct_n[:, None]) <= 1
+        )
+        d = jnp.where(gate & ok_view, d, hamming.INVALID)
+        best = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, best[:, None], 1)[:, 0]
+        # ratio-test second excludes <3 px neighbors of the best (multi-
+        # octave duplicate detections; see mono variant)
+        best_uv = keys_uv[best]
+        near_best = (keys_uv[None, :, 0] - best_uv[:, 0:1]) ** 2 + (
+            keys_uv[None, :, 1] - best_uv[:, 1:2]
+        ) ** 2 < 9.0
+        second = jnp.min(jnp.where(near_best, hamming.INVALID, d), axis=1)
+        okm = (best_d <= 50.0) & (best_d < 0.6 * second)
+        # one-to-one per view
+        claim = jnp.where(okm, best_d, hamming.INVALID)
+        min_per_key = jnp.full((Kk,), hamming.INVALID).at[best].min(claim)
+        okm = okm & (claim <= min_per_key[best] + 1e-6)
+        uv_m = keys_uv[best]
+        return (
+            jnp.where(okm[:, None], uv_m, 0.0),
+            jnp.where(okm, best, -1),
+        )
+
+    uv_views, key_views = jax.lax.map(match_one_view, jnp.arange(V - 1))
+    # (V-1, Kk, 2), (V-1, Kk)
+
+    # --- assemble triangulation problem: V-1 older views + newest L + newest R
+    P_l = triangulate.projection_matrices(m.kf_pose[window_slots], K)  # (V,3,4)
+    P_r = triangulate.projection_matrices(
+        pose_n[None], K, baseline_shift=jnp.asarray([baseline])
+    )  # (1,3,4)
+    P_all = jnp.concatenate([P_l[:-1], P_l[-1:], P_r], axis=0)  # (V+1,3,4)
+
+    uv_all = jnp.concatenate(
+        [
+            jnp.swapaxes(uv_views, 0, 1),  # (Kk, V-1, 2)
+            uv_n[:, None, :2],  # newest left
+            jnp.stack([uv_n[:, 2], uv_n[:, 1]], axis=-1)[:, None, :],  # newest right
+        ],
+        axis=1,
+    )  # (Kk, V+1, 2)
+    mask = jnp.concatenate(
+        [
+            jnp.swapaxes(key_views >= 0, 0, 1),
+            cand[:, None],
+            cand[:, None],
+        ],
+        axis=1,
+    )
+    pts_tri = triangulate.triangulate_dlt(P_all, uv_all, mask)
+    pts_tri = triangulate.refine_triangulation(pts_tri, P_all, uv_all, mask)
+    inv_s2 = extract.inv_sigma2(oct_n, n_levels, scale)[:, None]
+    ok_tri, _ = triangulate.validate_triangulation(
+        pts_tri, P_all, uv_all, mask, jnp.broadcast_to(inv_s2, mask.shape),
+        chi2_thr=7.815, min_views=3,
+    )
+    ok = ok_tri & cand
+
+    # --- compact to the spawn budget and assign slots ---
+    order = jnp.argsort(~ok)  # ok candidates first (stable)
+    take = order[:SPAWN_TRI]
+    take_ok = ok[take] & spawn_avail
+    slot_of_cand = jnp.full((Kk + 1,), -1, jnp.int32)
+    slot_of_cand = slot_of_cand.at[jnp.where(take_ok, take, Kk)].set(
+        jnp.where(take_ok, spawn_slots, -1)
+    )[:Kk]
+
+    dist = jnp.linalg.norm(
+        pts_tri - pose_n[:3, 3][None, :], axis=-1
+    )
+    sfo = sf[jnp.clip(oct_n, 0, n_levels - 1)]
+    maxdist = dist * sfo
+    mindist = maxdist / (scale ** (n_levels - 1))
+
+    return {
+        "spawn_pos": pts_tri[take],
+        "spawn_desc": desc_n[take],
+        "spawn_maxdist": maxdist[take],
+        "spawn_mindist": mindist[take],
+        "spawn_valid": take_ok,
+        "slot_of_cand": slot_of_cand,  # (Kk,) landmark slot per newest-KF key or -1
+        "key_views": key_views,  # (V-1, Kk) matched key idx per older view
+        "n_new": jnp.sum(take_ok),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
+def _triangulate_new_points_mono(
+    m: map_state.MapArrays,
+    window_slots: jax.Array,  # (V,) int32, newest LAST
+    window_valid: jax.Array,  # (V,) bool
+    spawn_slots: jax.Array,  # (SPAWN_TRI,)
+    spawn_avail: jax.Array,  # (SPAWN_TRI,) bool
+    K: jax.Array,
+    radius: jax.Array,  # match radius in px (reference mono 120/1200,
+    #                      src/FeatureTracker.cpp:1400, 1518)
+    min_parallax_px: jax.Array,  # pixel-parallax gate (reference 10 px,
+    #                      include/Conversions.h:140-144)
+    n_levels: int = 8,
+    scale: float = 1.2,
+):
+    """Mono multi-view triangulation (reference addMappointsMono /
+    calculateMPFromMono, src/FeatureTracker.cpp:1497-1684): unmatched keys
+    of the newest KF are matched into the window by RADIUS around their own
+    pixel (matchByRadius semantics, src/FeatureMatcher.cpp:458-526) with a
+    pixel-parallax gate, then DLT-triangulated over >= 2 observing views
+    (reference monoKFsToMP minimum, include/FeatureTracker.h:55)."""
+    V = window_slots.shape[0]
+    newest = window_slots[V - 1]
+    Kk = m.obs_uv.shape[1]
+    sf = jnp.asarray([scale**l for l in range(n_levels)], jnp.float32)
+
+    uv_n = m.obs_uv[newest][:, :2]
+    oct_n = m.obs_oct[newest]
+    lm_n = m.obs_lm[newest]
+    desc_n = m.obs_desc[newest]
+    valid_n = m.obs_valid[newest]
+    pose_n = m.kf_pose[newest]
+
+    cand = valid_n & (lm_n < 0)
+    K_inv = jnp.linalg.inv(K)
+    xh_n = jnp.concatenate([uv_n, jnp.ones((Kk, 1))], axis=-1)  # (Kk, 3)
+
+    def match_one_view(v):
+        slot = window_slots[v]
+        ok_view = window_valid[v] & (slot != newest)
+        pose_v = m.kf_pose[slot]
+        keys_uv = m.obs_uv[slot][:, :2]
+        keys_oct = m.obs_oct[slot]
+        keys_desc = m.obs_desc[slot]
+        keys_free = m.obs_valid[slot] & (m.obs_lm[slot] < 0)
+
+        d = hamming.hamming_matrix(desc_n, keys_desc, cand, keys_free)
+        rad = radius * sf[jnp.clip(oct_n, 0, n_levels - 1)]
+        du = uv_n[:, None, 0] - keys_uv[None, :, 0]
+        dv = uv_n[:, None, 1] - keys_uv[None, :, 1]
+        dist2 = du * du + dv * dv
+
+        # epipolar gate: the candidate has no depth, but the keyframe poses
+        # are known (IMU dead-reckoned), so its match in view v must lie
+        # near the epipolar line l = F x. This is what makes the ratio test
+        # meaningful on self-similar texture — candidates compete only
+        # along the line, not across the whole search disk.
+        T_nv = se3.inverse(pose_v) @ pose_n  # newest-cam -> view-cam
+        E = se3.hat(T_nv[:3, 3]) @ T_nv[:3, :3]
+        F = K_inv.T @ E @ K_inv
+        l = xh_n @ F.T  # (Kk, 3) lines in view v
+        num = jnp.abs(
+            l[:, None, 0] * keys_uv[None, :, 0]
+            + l[:, None, 1] * keys_uv[None, :, 1]
+            + l[:, None, 2]
+        )
+        den = jnp.sqrt(l[:, 0] ** 2 + l[:, 1] ** 2 + 1e-12)[:, None]
+        epi_ok = num <= 4.0 * sf[jnp.clip(oct_n, 0, n_levels - 1)][:, None] * den
+
+        # in-radius AND sufficient pixel parallax (a near-zero pixel motion
+        # triangulates at infinity — the reference gates these out)
+        gate = (
+            (dist2 <= (rad * rad)[:, None])
+            & (dist2 >= (min_parallax_px * min_parallax_px))
+            & epi_ok
+            & (jnp.abs(keys_oct[None, :] - oct_n[:, None]) <= 1)
+        )
+        d = jnp.where(gate & ok_view, d, hamming.INVALID)
+        best = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, best[:, None], 1)[:, 0]
+        # second-best for the ratio test EXCLUDING keys within 3 px of the
+        # best — multi-octave duplicates of the same corner carry
+        # near-identical descriptors and would veto every true match
+        best_uv = keys_uv[best]
+        near_best = (keys_uv[None, :, 0] - best_uv[:, 0:1]) ** 2 + (
+            keys_uv[None, :, 1] - best_uv[:, 1:2]
+        ) ** 2 < 9.0
+        second = jnp.min(jnp.where(near_best, hamming.INVALID, d), axis=1)
+        # mono thresholds relaxed by +50/+0.1 (reference matchByProjectionMono
+        # quirk, src/FeatureMatcher.cpp:442-447)
+        okm = (best_d <= 100.0) & (best_d < 0.7 * second)
+        claim = jnp.where(okm, best_d, hamming.INVALID)
+        min_per_key = jnp.full((Kk,), hamming.INVALID).at[best].min(claim)
+        okm = okm & (claim <= min_per_key[best] + 1e-6)
+        uv_m = keys_uv[best]
+        return (
+            jnp.where(okm[:, None], uv_m, 0.0),
+            jnp.where(okm, best, -1),
+        )
+
+    uv_views, key_views = jax.lax.map(match_one_view, jnp.arange(V - 1))
+
+    P_l = triangulate.projection_matrices(m.kf_pose[window_slots], K)  # (V,3,4)
+    uv_all = jnp.concatenate(
+        [jnp.swapaxes(uv_views, 0, 1), uv_n[:, None, :]], axis=1
+    )  # (Kk, V, 2)
+    mask = jnp.concatenate(
+        [jnp.swapaxes(key_views >= 0, 0, 1), cand[:, None]], axis=1
+    )
+    pts_tri = triangulate.triangulate_dlt(P_l, uv_all, mask)
+    pts_tri = triangulate.refine_triangulation(pts_tri, P_l, uv_all, mask)
+    inv_s2 = extract.inv_sigma2(oct_n, n_levels, scale)[:, None]
+    ok_tri, _ = triangulate.validate_triangulation(
+        pts_tri, P_l, uv_all, mask, jnp.broadcast_to(inv_s2, mask.shape),
+        chi2_thr=7.815, min_views=2,
+    )
+    ok = ok_tri & cand
+
+    order = jnp.argsort(~ok)
+    take = order[:SPAWN_TRI]
+    take_ok = ok[take] & spawn_avail
+    slot_of_cand = jnp.full((Kk + 1,), -1, jnp.int32)
+    slot_of_cand = slot_of_cand.at[jnp.where(take_ok, take, Kk)].set(
+        jnp.where(take_ok, spawn_slots, -1)
+    )[:Kk]
+
+    dist = jnp.linalg.norm(pts_tri - pose_n[:3, 3][None, :], axis=-1)
+    sfo = sf[jnp.clip(oct_n, 0, n_levels - 1)]
+    maxdist = dist * sfo
+    mindist = maxdist / (scale ** (n_levels - 1))
+
+    return {
+        "spawn_pos": pts_tri[take],
+        "spawn_desc": desc_n[take],
+        "spawn_maxdist": maxdist[take],
+        "spawn_mindist": mindist[take],
+        "spawn_valid": take_ok,
+        "slot_of_cand": slot_of_cand,
+        "key_views": key_views,
+        "n_new": jnp.sum(take_ok),
+    }
+
+
+@jax.jit
+def _apply_triangulation(
+    m: map_state.MapArrays,
+    window_slots: jax.Array,  # (V,)
+    slot_of_cand: jax.Array,  # (Kk,)
+    key_views: jax.Array,  # (V-1, Kk)
+):
+    """Write new landmark ids into the newest KF's and the older views'
+    observation tables."""
+    V = window_slots.shape[0]
+    newest = window_slots[V - 1]
+    Kk = slot_of_cand.shape[0]
+    # newest KF: candidate key j -> its own slot
+    has = slot_of_cand >= 0
+    new_row = jnp.where(has, slot_of_cand, m.obs_lm[newest])
+    obs_lm = m.obs_lm.at[newest].set(new_row)
+    # older views: key_views[v, j] observes slot_of_cand[j]
+    def body(v, obs_lm):
+        slot = window_slots[v]
+        kv = key_views[v]
+        okv = (kv >= 0) & has
+        tgt_key = jnp.where(okv, kv, Kk)  # index Kk is out of bounds -> drop
+        return obs_lm.at[slot, tgt_key].set(
+            jnp.where(okv, slot_of_cand, -1), mode="drop"
+        )
+
+    obs_lm = jax.lax.fori_loop(0, V - 1, body, obs_lm)
+    return dataclasses.replace(m, obs_lm=obs_lm)
 
 
 @dataclasses.dataclass
@@ -43,6 +371,86 @@ class LocalMapper:
         self.baseline = jnp.float32(baseline)
         self.cfg = config or LocalMapperConfig()
         self.ba_count = 0
+
+    # ------------------------------------------------------------------
+    def find_new_points(self, kf_slot: int, mono: bool = False) -> np.ndarray:
+        """Triangulate new multi-view landmarks for the newest KF's window
+        (reference LocalMapper::findNewPoints, src/OptimizationBA.cpp:340-391;
+        mono: addMappointsMono, src/FeatureTracker.cpp:1497-1684) and insert
+        them into the map. Returns the new landmark slots."""
+        w = self.world
+        cfg = self.cfg
+        covis = w.covisible_kfs(kf_slot, cfg.max_covisible, cfg.min_covis_weight)
+        older = np.unique(covis[covis != kf_slot]).astype(np.int64)
+        older = np.sort(older)[-(WINDOW - 1):]
+        if len(older) == 0 and kf_slot > 0:
+            # no covisibility yet (e.g. mono bootstrap KFs share no
+            # landmarks) — use the most recent preceding KFs instead
+            older = np.arange(max(0, kf_slot - (WINDOW - 1)), kf_slot, dtype=np.int64)
+        if len(older) == 0:
+            return np.zeros(0, np.int64)
+        pad = WINDOW - 1 - len(older)
+        slots = np.concatenate([np.zeros(pad, np.int64), older, [kf_slot]])
+        valid = np.concatenate([np.zeros(pad, bool), np.ones(len(older) + 1, bool)])
+
+        spawn = w.alloc_landmarks(SPAWN_TRI)
+        pad_s = SPAWN_TRI - len(spawn)
+        spawn_dev = jnp.asarray(
+            np.concatenate([spawn, np.zeros(pad_s, np.int64)]), jnp.int32
+        )
+        avail = jnp.asarray(np.arange(SPAWN_TRI) < len(spawn))
+        slots_dev = jnp.asarray(slots, jnp.int32)
+
+        if mono:
+            r = _triangulate_new_points_mono(
+                w.arrays,
+                slots_dev,
+                jnp.asarray(valid),
+                spawn_dev,
+                avail,
+                self.K,
+                jnp.float32(120.0),
+                jnp.float32(10.0),
+                n_levels=cfg.n_levels,
+                scale=cfg.scale,
+            )
+        else:
+            r = _triangulate_new_points(
+                w.arrays,
+                slots_dev,
+                jnp.asarray(valid),
+                spawn_dev,
+                avail,
+                self.K,
+                self.baseline,
+                n_levels=cfg.n_levels,
+                scale=cfg.scale,
+            )
+        w.arrays = map_state.scatter_landmarks(
+            w.arrays,
+            spawn_dev,
+            r["spawn_pos"],
+            r["spawn_desc"],
+            r["spawn_maxdist"],
+            r["spawn_mindist"],
+            r["spawn_valid"],
+        )
+        w.arrays = _apply_triangulation(
+            w.arrays, slots_dev, r["slot_of_cand"], r["key_views"]
+        )
+        # host mirrors (slot_of_cand / key_views are small transfers)
+        soc = np.asarray(r["slot_of_cand"])
+        kv = np.asarray(r["key_views"])
+        has = soc >= 0
+        w.kf_obs_lm[kf_slot][has] = soc[has]
+        for v in range(WINDOW - 1):
+            if valid[v]:
+                okv = (kv[v] >= 0) & has
+                w.kf_obs_lm[slots[v]][kv[v][okv]] = soc[okv]
+        # unused tail of the spawn budget goes back to the allocator
+        n_new = int(r["n_new"])
+        w.release_landmarks(spawn[n_new:])
+        return spawn[:n_new]
 
     # ------------------------------------------------------------------
     def _assemble(self, kf_slot: int):
@@ -132,11 +540,15 @@ class LocalMapper:
         return p, kf_slots, kf_valid, lm_ids, lm_valid
 
     # ------------------------------------------------------------------
-    def run(self, kf_slot: int) -> dict:
+    def run(self, kf_slot: int, mono: bool = False) -> dict:
         """Full local BA for the window around `kf_slot`; writes results
-        into the map. Returns re-anchoring info for the tracker."""
+        into the map. Returns re-anchoring info for the tracker.
+
+        mono=True also runs local BA — an improvement over the reference,
+        whose mono mode has no LocalMapper at all (src/System.cpp:11-20)."""
         w = self.world
         cfg = self.cfg
+        new_lm_ids = self.find_new_points(kf_slot, mono=mono)
         p, kf_slots, kf_valid, lm_ids, lm_valid = self._assemble(kf_slot)
 
         old_last_pose = w.kf_poses_host[kf_slot].copy()
@@ -187,4 +599,5 @@ class LocalMapper:
             "error": float(err),
             "n_killed": int(kill_host.sum()),
             "window": kf_slots[kf_valid].tolist(),
+            "new_lm_ids": new_lm_ids,
         }

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,8 @@ class MapArrays:
     obs_oct: jax.Array  # (W, K) int32
     obs_stereo: jax.Array  # (W, K) bool
     obs_lm: jax.Array  # (W, K) int32 landmark slot or -1
+    obs_desc: jax.Array  # (W, K, 256) int8 +-1 — per-KF key descriptors
+    obs_valid: jax.Array  # (W, K) bool — key slot holds a real detection
 
 
 def make_map(lm_capacity: int = 1 << 16, kf_capacity: int = 512, keys_per_kf: int = 2048) -> MapArrays:
@@ -62,6 +65,8 @@ def make_map(lm_capacity: int = 1 << 16, kf_capacity: int = 512, keys_per_kf: in
         obs_oct=jnp.zeros((W, K), jnp.int32),
         obs_stereo=jnp.zeros((W, K), bool),
         obs_lm=jnp.full((W, K), -1, jnp.int32),
+        obs_desc=jnp.zeros((W, K, 256), jnp.int8),
+        obs_valid=jnp.zeros((W, K), bool),
     )
 
 
@@ -91,6 +96,17 @@ def scatter_landmarks(
 
 
 @jax.jit
+def refresh_descriptors(m: MapArrays, ids: jax.Array, desc: jax.Array) -> MapArrays:
+    """Update representative descriptors for landmarks (MapPoint::
+    calcDescriptor analog, src/Map.cpp:145-210). ids < 0 are dropped."""
+    P = m.lm_pos.shape[0]
+    s = jnp.where(ids >= 0, ids, P - 1)
+    return dataclasses.replace(m, lm_desc=m.lm_desc.at[s].set(
+        jnp.where((ids >= 0)[:, None], desc, m.lm_desc[s])
+    ))
+
+
+@jax.jit
 def scatter_keyframe(
     m: MapArrays,
     kf_slot: jax.Array,  # () int32
@@ -99,6 +115,8 @@ def scatter_keyframe(
     obs_oct: jax.Array,  # (K,)
     obs_stereo: jax.Array,  # (K,)
     obs_lm: jax.Array,  # (K,) landmark slot or -1
+    obs_desc: jax.Array,  # (K, 256) int8
+    obs_valid: jax.Array,  # (K,) bool
 ) -> MapArrays:
     return dataclasses.replace(
         m,
@@ -108,6 +126,8 @@ def scatter_keyframe(
         obs_oct=m.obs_oct.at[kf_slot].set(obs_oct),
         obs_stereo=m.obs_stereo.at[kf_slot].set(obs_stereo),
         obs_lm=m.obs_lm.at[kf_slot].set(obs_lm),
+        obs_desc=m.obs_desc.at[kf_slot].set(obs_desc),
+        obs_valid=m.obs_valid.at[kf_slot].set(obs_valid),
     )
 
 
@@ -172,6 +192,7 @@ class WorldMap:
         self.keys_per_kf = keys_per_kf
         self.n_landmarks = 0
         self.n_keyframes = 0
+        self._alloc_lock = threading.Lock()
         # host mirrors
         self.kf_obs_lm = np.full((kf_capacity, keys_per_kf), -1, np.int64)
         self.kf_frame_idx = np.full(kf_capacity, -1, np.int64)
@@ -180,10 +201,21 @@ class WorldMap:
 
     def alloc_landmarks(self, count: int) -> np.ndarray:
         """Reserve `count` slots (the reference's map->pIdx counter)."""
-        start = self.n_landmarks
-        end = min(start + count, self.lm_capacity - 1)
-        self.n_landmarks = end
-        return np.arange(start, end, dtype=np.int32)
+        with self._alloc_lock:
+            start = self.n_landmarks
+            end = min(start + count, self.lm_capacity - 1)
+            self.n_landmarks = end
+            return np.arange(start, end, dtype=np.int32)
+
+    def release_landmarks(self, slots: np.ndarray):
+        """Return an unused contiguous tail of slots to the allocator (only
+        possible while they are still the topmost allocation — e.g. the
+        async tracker thread has not allocated past them)."""
+        if len(slots) == 0:
+            return
+        with self._alloc_lock:
+            if slots[-1] == self.n_landmarks - 1 and slots[0] + len(slots) == self.n_landmarks:
+                self.n_landmarks = int(slots[0])
 
     def alloc_keyframe(self, frame_idx: int) -> int:
         slot = self.n_keyframes

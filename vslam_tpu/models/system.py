@@ -52,9 +52,39 @@ class VSlamSystem:
             kf_capacity=kf_capacity,
             keys_per_kf=params.n_features,
         )
-        self.tracker = tracker.StereoTracker(
-            K, self.rig.baseline, self.rig.width, self.rig.height, self.world, params
-        )
+
+        # IMU config (STEREO_IMU / MONO_IMU modes; reference IMU YAML block +
+        # T_bc1, config/config_MH_01.yaml:18-24, 112-115)
+        imu_cfg = None
+        self._imu_hz = 200.0
+        if self.mode in (SlamMode.STEREO_IMU, SlamMode.MONO_IMU):
+            hz = float(conf.get("IMU", "Hz", default=200))
+            self._imu_hz = hz
+            T_bc = conf.get_matrix("T_bc1", default=None)
+            if T_bc is None:
+                T_bc = np.eye(4, dtype=np.float32)
+            imu_cfg = tracker.ImuConfig(
+                gyro_noise=float(conf.get("IMU", "gyroscope_noise_density", default=1.7e-4)),
+                accel_noise=float(conf.get("IMU", "accelerometer_noise_density", default=2e-3)),
+                gyro_walk=float(conf.get("IMU", "gyroscope_random_walk", default=1.9e-5)),
+                accel_walk=float(conf.get("IMU", "accelerometer_random_walk", default=3e-3)),
+                hz=hz,
+                T_bc=np.asarray(T_bc, np.float32).reshape(4, 4),
+                gravity_w=np.array([0.0, 0.0, -9.81], np.float32),
+            )
+        self._last_imu_t: float | None = None
+        self._gravity_set = False
+
+        if self.mode == SlamMode.MONOCULAR:
+            self.tracker = tracker.MonoTracker(
+                K, self.rig.width, self.rig.height, self.world, params,
+                imu_cfg=imu_cfg,
+            )
+        else:
+            self.tracker = tracker.StereoTracker(
+                K, self.rig.baseline, self.rig.width, self.rig.height, self.world,
+                params, imu_cfg=imu_cfg,
+            )
         self.mapper = local_mapper.LocalMapper(
             self.world,
             K,
@@ -97,16 +127,16 @@ class VSlamSystem:
     def _ba_loop(self):
         while not self._stop.is_set():
             try:
-                slot = self._ba_queue.get(timeout=0.02)
+                slot, mono = self._ba_queue.get(timeout=0.02)
             except queue.Empty:
                 continue
             # drain to the newest KF (the reference only ever BA's the last)
             while True:
                 try:
-                    slot = self._ba_queue.get_nowait()
+                    slot, mono = self._ba_queue.get_nowait()
                 except queue.Empty:
                     break
-            self._ba_results.put(self.mapper.run(slot))
+            self._ba_results.put(self.mapper.run(slot, mono=mono))
 
     def _consume_ba_results(self):
         while True:
@@ -115,25 +145,77 @@ class VSlamSystem:
             except queue.Empty:
                 return
             self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+            self.tracker.add_active(r.get("new_lm_ids", ()))
 
     # ------------------------------------------------------------------
+    def _imu_to_dt_rows(self, rows) -> np.ndarray | None:
+        """Absolute-timestamp IMU rows (K,7) [t,w,a] -> (K,7) [dt,w,a] rows
+        for the tracker, with the reference's first-sample 1/Hz fallback
+        (src/FeatureTracker.cpp:337-350). Also performs the one-time gravity
+        init from the first accel sample (src/VIOSlam.cpp:274)."""
+        if rows is None or len(rows) == 0:
+            return None
+        rows = np.asarray(rows, np.float64)
+        if not self._gravity_set:
+            a = rows[0, 4:7]
+            self.tracker.set_gravity(np.array([a[1], -a[0], a[2]]))
+            self._gravity_set = True
+        t = rows[:, 0]
+        prev = self._last_imu_t if self._last_imu_t is not None else t[0] - 1.0 / self._imu_hz
+        dts = np.diff(np.concatenate([[prev], t]))
+        self._last_imu_t = float(t[-1])
+        return np.concatenate(
+            [np.maximum(dts, 0.0)[:, None], rows[:, 1:7]], axis=1
+        ).astype(np.float32)
+
     def track_stereo(self, left: np.ndarray, right: np.ndarray, imu=None) -> np.ndarray:
         """Process one frame; returns the (4,4) cam-to-world pose
         (reference TrackStereo/TrackStereoIMU, src/System.cpp:72-85)."""
         left, right = self._rectify(left, right)
+        if imu is not None and self.mode in (SlamMode.STEREO_IMU, SlamMode.MONO_IMU):
+            imu = self._imu_to_dt_rows(imu)
+        else:
+            imu = None
         if self._async:
             self._consume_ba_results()
         n_kf_before = len(self.tracker.new_kf_slots)
         pose = self.tracker.track(left, right, imu)
+        self._dispatch_ba(n_kf_before, mono=False)
+        return pose
+
+    def track_mono_imu(self, left: np.ndarray, imu=None) -> np.ndarray:
+        """Monocular-inertial frame (reference TrackMonoIMU,
+        src/System.cpp:82-85). Handles the bootstrap's initial multi-view
+        triangulation and per-KF mono mapping."""
+        if self._maps is not None:
+            left = np.asarray(
+                cam.remap_bilinear(jnp.asarray(left, jnp.float32), self._maps[0])
+            )
+        imu = self._imu_to_dt_rows(imu) if imu is not None else None
+        if self._async:
+            self._consume_ba_results()
+        n_kf_before = len(self.tracker.new_kf_slots)
+        pose = self.tracker.track(left, imu=imu)
+        if getattr(self.tracker, "needs_init_triangulation", False):
+            slot = self.tracker.new_kf_slots[-1]
+            ids = self.mapper.find_new_points(slot, mono=True)
+            self.tracker.add_active(ids)
+            self.tracker.needs_init_triangulation = False
+            self.tracker.last_kf_tracked = max(len(ids), 1)
+        else:
+            self._dispatch_ba(n_kf_before, mono=True)
+        return pose
+
+    def _dispatch_ba(self, n_kf_before: int, mono: bool):
         if len(self.tracker.new_kf_slots) > n_kf_before:
             slot = self.tracker.new_kf_slots[-1]
             if slot > 0:  # BA needs at least 2 KFs
                 if self._async:
-                    self._ba_queue.put(slot)
+                    self._ba_queue.put((slot, mono))
                 else:
-                    r = self.mapper.run(slot)
+                    r = self.mapper.run(slot, mono=mono)
                     self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
-        return pose
+                    self.tracker.add_active(r["new_lm_ids"])
 
     def exit(self):
         """Drain the BA thread (the reference's ExitSystem is an empty stub,

@@ -218,3 +218,98 @@ def motion_only_ba(
     )
     inliers = valid & (chi2 < CHI2_3DOF)
     return T_opt, chi2, inliers, result
+
+
+# ---------------------------------------------------------------------------
+# IMU-fused motion-only bundle adjustment (15-dof: pose + velocity + bias)
+# ---------------------------------------------------------------------------
+
+
+def motion_only_ba_imu(
+    T_init: jax.Array,  # (4,4) predicted cam-to-world (left camera)
+    v_init: jax.Array,  # (3,) predicted world velocity (body)
+    bias_prev: jax.Array,  # (6,) [ba, bg] of the previous frame (frozen)
+    T_prev_wb: jax.Array,  # (4,4) previous BODY pose (frozen anchor x0)
+    v_prev: jax.Array,  # (3,) previous world velocity (frozen v0)
+    pre,  # imu.PreintState preintegrated over the inter-frame samples
+    gravity_w: jax.Array,  # (3,)
+    imu_params,  # imu.ImuParams
+    T_bc: jax.Array,  # (4,4) body-to-cam extrinsic (reference T_bc1)
+    pts_w: jax.Array,
+    obs: jax.Array,
+    inv_sigma2: jax.Array,
+    is_stereo: jax.Array,
+    is_right: jax.Array,
+    valid: jax.Array,
+    K: jax.Array,
+    baseline: jax.Array,
+    max_iters: int = 100,
+    bias_sigma: float = 1e-3,
+):
+    """Visual-inertial pose solve replicating the reference's IMU branch of
+    estimatePoseGTSAM (src/FeatureTracker.cpp:301-387): x0/v0/b0 frozen by
+    NonlinearEquality, CombinedImuFactor(x0,v0,x1,v1,b0,b1), bias
+    BetweenFactor sigma=1e-3 (379-381), priors on x1/v1 at the propagated
+    state (383-385), plus the projection/stereo factors of the no-IMU path.
+
+    State is (T_wc, v_w, bias) — 6+3+6 = 15 dof, one lax.while_loop LM.
+    Returns (T_opt, v_opt, bias_opt, chi2, inliers, lm_result).
+    """
+    from vslam_tpu.ops import imu as imu_mod
+
+    weights = jnp.sqrt(inv_sigma2)
+    huber_delta = jnp.sqrt(CHI2_3DOF)
+    T_cb = se3.inverse(T_bc)
+
+    # propagated (predicted) state for the x1/v1 priors
+    T_pred_wb = T_init @ T_cb
+    prior_sigma_pose = 1.0
+    prior_sigma_vel = 1.0
+
+    def retract(state, d):
+        T, v, b = state
+        return (se3.retract(T, d[:6]), v + d[6:9], b + d[9:15])
+
+    def solve(state0, mask, iters):
+        def residual(state):
+            T_wc, v_w, b = state
+            r_vis = stereo_residuals(
+                T_wc, pts_w, obs, weights, is_stereo, is_right, mask, K, baseline
+            )
+            n = jnp.sqrt(jnp.sum(r_vis * r_vis, axis=-1) + 1e-18)
+            w_h = jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
+            r_vis = (r_vis * w_h[:, None]).reshape(-1)
+            T_wb = T_wc @ T_cb
+            r_imu = imu_mod.combined_residual(
+                T_prev_wb, v_prev, bias_prev, T_wb, v_w, b,
+                pre, bias_prev, gravity_w, imu_params,
+            )
+            r_bias = (b - bias_prev) / bias_sigma
+            r_prior_p = se3.se3_logmap(se3.inverse(T_pred_wb) @ T_wb) / prior_sigma_pose
+            r_prior_v = (v_w - v_init) / prior_sigma_vel
+            return jnp.concatenate([r_vis, r_imu, r_bias, r_prior_p, r_prior_v])
+
+        return lm_solve(
+            residual,
+            state0,
+            retract,
+            dim=15,
+            max_iters=iters,
+        )
+
+    state0 = (T_init, v_init, bias_prev)
+    res1 = solve(state0, valid, max_iters)
+    T1, v1, b1 = res1.state
+    chi2_1 = reproj_chi2(
+        T1, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
+    )
+    keep = valid & (chi2_1 < CHI2_3DOF)
+    enough = jnp.sum(keep) >= jnp.maximum(jnp.sum(valid) // 4, 6)
+    keep = jnp.where(enough, keep, valid)
+    result = solve(res1.state, keep, max_iters)
+    T_opt, v_opt, b_opt = result.state
+    chi2 = reproj_chi2(
+        T_opt, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
+    )
+    inliers = valid & (chi2 < CHI2_3DOF)
+    return T_opt, v_opt, b_opt, chi2, inliers, result

@@ -1,0 +1,122 @@
+"""Checkpoint / resume of the full SLAM state.
+
+The reference has NO persistence beyond the final trajectory text dump
+(reference src/System.cpp:87-124; no map serialization, no resume —
+SURVEY.md §5). Here the whole world state is a structure-of-arrays pytree
+(models/map_state.py), so checkpointing is a single device->host gather and
+an .npz write at keyframe boundaries; resume restores the arrays, the host
+mirrors, and the tracker's pose/velocity/bias so a run continues bit-exact
+where it stopped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.models import map_state
+
+FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> None:
+    """Write the map SoA (+ optional tracker runtime state) to `path`
+    (.npz). Atomic: writes to a temp file then renames."""
+    m = world.arrays
+    blobs = {
+        f"map.{f.name}": np.asarray(getattr(m, f.name))
+        for f in dataclasses.fields(m)
+    }
+    blobs.update(
+        {
+            "host.kf_obs_lm": world.kf_obs_lm,
+            "host.kf_frame_idx": world.kf_frame_idx,
+            "host.kf_poses": world.kf_poses_host,
+            "host.lm_first_kf": world.lm_first_kf,
+        }
+    )
+    meta = {
+        "version": FORMAT_VERSION,
+        "n_landmarks": world.n_landmarks,
+        "n_keyframes": world.n_keyframes,
+        "lm_capacity": world.lm_capacity,
+        "kf_capacity": world.kf_capacity,
+        "keys_per_kf": world.keys_per_kf,
+    }
+    if tracker is not None:
+        blobs.update(
+            {
+                "trk.pose": tracker.pose,
+                "trk.prev_pose": tracker.prev_pose,
+                "trk.pred_pose": tracker.pred_pose,
+                "trk.active_ids": tracker.active_ids,
+                "trk.miss_age": tracker.miss_age,
+                "trk.velocity": tracker.velocity,
+                "trk.bias": tracker.bias,
+            }
+        )
+        meta.update(
+            {
+                "frame_idx": tracker.frame_idx,
+                "last_kf_tracked": tracker.last_kf_tracked,
+                "last_kf_frame": tracker.last_kf_frame,
+                "last_kf_slot": tracker.last_kf_slot,
+                "new_kf_slots": tracker.new_kf_slots,
+                "frame_records": [
+                    [int(s), rel.tolist()] for s, rel in tracker.frame_records
+                ],
+            }
+        )
+    blobs["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    tmp = path + ".tmp.npz"  # savez appends .npz unless present
+    np.savez_compressed(tmp, **blobs)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> dict:
+    """Restore state saved by :func:`save_checkpoint` into `world` (and
+    `tracker` if given). Returns the metadata dict."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(data["meta_json"]).decode())
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} != {FORMAT_VERSION}")
+    for cap in ("lm_capacity", "kf_capacity", "keys_per_kf"):
+        if meta[cap] != getattr(world, cap):
+            raise ValueError(
+                f"checkpoint {cap}={meta[cap]} does not match world "
+                f"{cap}={getattr(world, cap)}"
+            )
+    kwargs = {
+        f.name: jnp.asarray(data[f"map.{f.name}"])
+        for f in dataclasses.fields(world.arrays)
+    }
+    world.arrays = map_state.MapArrays(**kwargs)
+    world.kf_obs_lm = data["host.kf_obs_lm"].copy()
+    world.kf_frame_idx = data["host.kf_frame_idx"].copy()
+    world.kf_poses_host = data["host.kf_poses"].copy()
+    world.lm_first_kf = data["host.lm_first_kf"].copy()
+    world.n_landmarks = meta["n_landmarks"]
+    world.n_keyframes = meta["n_keyframes"]
+    if tracker is not None and "trk.pose" in data:
+        tracker.pose = data["trk.pose"].copy()
+        tracker.prev_pose = data["trk.prev_pose"].copy()
+        tracker.pred_pose = data["trk.pred_pose"].copy()
+        tracker.active_ids = data["trk.active_ids"].copy()
+        tracker.miss_age = data["trk.miss_age"].copy()
+        tracker.velocity = data["trk.velocity"].copy()
+        tracker.bias = data["trk.bias"].copy()
+        tracker.frame_idx = meta["frame_idx"]
+        tracker.last_kf_tracked = meta["last_kf_tracked"]
+        tracker.last_kf_frame = meta["last_kf_frame"]
+        tracker.last_kf_slot = meta["last_kf_slot"]
+        tracker.new_kf_slots = list(meta["new_kf_slots"])
+        tracker.frame_records = [
+            (int(s), np.asarray(rel, np.float32)) for s, rel in meta["frame_records"]
+        ]
+    return meta

@@ -30,6 +30,7 @@ class SlamMode(enum.IntEnum):
     STEREO_IMU = 0
     STEREO = 1
     MONOCULAR = 2  # mono + IMU
+    MONO_IMU = 2  # alias (same mode; the reference's monocular requires IMU)
 
 
 class ConfigFile:

@@ -42,19 +42,24 @@ def _smooth_trajectory(n_frames: int, dt: float, speed: float = 1.2, yaw_rate: f
     return ts, poses, pos, rotvec
 
 
-def _make_patch(rng: np.random.Generator, size: int = 13) -> np.ndarray:
+def _make_patch(rng: np.random.Generator, size: int = 21) -> np.ndarray:
     """A high-contrast blob that triggers FAST and has a distinctive BRIEF
-    signature: random binary texture with a bright core placed OFF-CENTER,
-    so the intensity-centroid orientation is well-defined and stable
-    across views (symmetric blobs have degenerate ORB angles)."""
-    p = rng.uniform(0.0, 1.0, size=(size, size))
-    p = (p > 0.5).astype(np.float32) * 170.0 + 30.0
+    signature: SMOOTH random texture (binary noise box-blurred once) with a
+    bright core placed OFF-CENTER, so the intensity-centroid orientation is
+    well-defined and stable across views. Smooth texture resamples stably
+    under the perspective depth scaling in render()."""
+    p = (rng.uniform(0.0, 1.0, size=(size + 2, size + 2)) > 0.5).astype(np.float32)
+    # 3x3 box blur (keeps strong gradients but kills single-pixel aliasing)
+    p = sum(
+        p[dy : dy + size, dx : dx + size] for dy in range(3) for dx in range(3)
+    ) / 9.0
+    p = p * 190.0 + 30.0
     c = size // 2
     # off-center bright core: deterministic direction per patch
     oy, ox = rng.integers(-2, 3, size=2)
     p[c - 1 + oy : c + 2 + oy, c - 1 + ox : c + 2 + ox] = 250.0
     p[c, c] = 240.0
-    return p
+    return p.astype(np.float32)
 
 
 @dataclasses.dataclass
@@ -71,9 +76,15 @@ class SyntheticScene:
     imu: np.ndarray  # (M, 7) [t, gyro, accel] exact body-frame samples
     imu_hz: float
 
+    # physical half-size of a patch in meters: patches render perspective-
+    # correct (pixel size ~ f*S/z), so their TEXTURE is a consistent set of
+    # 3D points on a small fronto-parallel plane — corners detected anywhere
+    # on a patch triangulate consistently across views, like real scenes.
+    patch_phys: float = 0.35
+
     def render(self, frame: int, right: bool = False) -> np.ndarray:
-        """Render one grayscale view by splatting patches at projected
-        (sub-pixel rounded) locations. Nearest points drawn last (painter)."""
+        """Render one grayscale view by splatting depth-scaled patches at
+        projected locations. Nearest points drawn last (painter)."""
         T_wc = self.poses_c2w[frame].copy()
         if right:
             T_wc[:3, 3] += T_wc[:3, :3] @ np.array([self.baseline, 0, 0])
@@ -84,15 +95,33 @@ class SyntheticScene:
         v = self.K[1, 1] * pc[:, 1] / np.maximum(z, 1e-6) + self.K[1, 2]
         img = np.full((self.height, self.width), 15.0, dtype=np.float32)
         S = self.patches.shape[1]
-        h = S // 2
+        fx = self.K[0, 0]
+        W, H = self.width, self.height
         order = np.argsort(-z)  # far first
         for i in order:
             if z[i] < 0.3:
                 continue
+            side = int(round(fx * self.patch_phys / z[i]))
+            side = max(7, min(side, 121)) | 1  # odd, bounded
+            h = side // 2
             ui, vi = int(round(u[i])), int(round(v[i]))
-            if not (h <= ui < self.width - h and h <= vi < self.height - h):
+            if ui + h < 0 or ui - h >= W or vi + h < 0 or vi - h >= H:
                 continue
-            img[vi - h : vi + h + 1, ui - h : ui + h + 1] = self.patches[i]
+            # bilinear resample of the patch texture to `side` (stable
+            # descriptors under scale change; nearest-neighbor aliases)
+            t = (np.arange(side) + 0.5) * S / side - 0.5
+            t0 = np.clip(np.floor(t).astype(int), 0, S - 1)
+            t1 = np.minimum(t0 + 1, S - 1)
+            a = (t - t0).astype(np.float32)
+            P = self.patches[i]
+            row0 = P[t0][:, t0] * (1 - a)[None, :] + P[t0][:, t1] * a[None, :]
+            row1 = P[t1][:, t0] * (1 - a)[None, :] + P[t1][:, t1] * a[None, :]
+            pp = row0 * (1 - a)[:, None] + row1 * a[:, None]
+            y0, y1 = max(vi - h, 0), min(vi + h + 1, H)
+            x0, x1 = max(ui - h, 0), min(ui + h + 1, W)
+            img[y0:y1, x0:x1] = pp[
+                y0 - (vi - h) : y1 - (vi - h), x0 - (ui - h) : x1 - (ui - h)
+            ]
         return img
 
     def project_points(self, frame: int, right: bool = False):
@@ -119,6 +148,7 @@ def make_scene(
     fps: float = 10.0,
     imu_hz: float = 200.0,
     seed: int = 0,
+    depth_range: tuple | None = None,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     dt = 1.0 / fps
@@ -129,11 +159,12 @@ def make_scene(
 
     # landmarks in a slab in front of the whole trajectory
     total_len = 1.2 * n_frames * dt
+    zmin, zmax = depth_range if depth_range else (1.5, total_len + 14.0)
     pts = np.stack(
         [
             rng.uniform(-6.0, 6.0, n_points),
             rng.uniform(-4.0, 4.0, n_points),
-            rng.uniform(1.5, total_len + 14.0, n_points),
+            rng.uniform(zmin, zmax, n_points),
         ],
         axis=-1,
     )

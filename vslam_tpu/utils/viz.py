@@ -1,0 +1,133 @@
+"""Map / trajectory visualization export.
+
+TPU-native replacement for the reference's Iridescence live viewer
+(reference src/Visualization.cpp:125-143: point cloud colored by activity
+59-94, camera frusta as thin lines 7-57, per-KF frusta 96-118). A headless
+TPU host has no GL stack, so instead of a render loop this module exports:
+
+- :func:`export_ply` — landmarks (+ trajectory) as a standard PLY point
+  cloud for any external viewer (MeshLab, CloudCompare, rerun);
+- :func:`export_html` — a fully self-contained interactive HTML viewer
+  (vanilla canvas 3D: orbit, zoom, colored landmarks, KF frusta, the
+  trajectory polyline) with the scene data embedded as JSON. No external
+  assets, works offline.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from vslam_tpu.models import map_state
+
+
+def _collect(world: map_state.WorldMap, trajectory: np.ndarray | None):
+    m = world.arrays
+    valid = np.asarray(m.lm_valid)
+    pts = np.asarray(m.lm_pos)[valid]
+    kf_poses = world.kf_poses_host[: world.n_keyframes]
+    traj = (
+        np.asarray(trajectory)[:, :3, 3]
+        if trajectory is not None and len(trajectory)
+        else np.zeros((0, 3))
+    )
+    return pts, kf_poses, traj
+
+
+def export_ply(path: str, world: map_state.WorldMap, trajectory: np.ndarray | None = None):
+    """Landmarks (white) + trajectory positions (red) as ASCII PLY."""
+    pts, _, traj = _collect(world, trajectory)
+    n = len(pts) + len(traj)
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {n}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        for p in pts:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} 200 200 200\n")
+        for p in traj:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} 230 40 40\n")
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>vslam_tpu map</title>
+<style>body{margin:0;background:#101014;color:#ddd;font:12px monospace}
+#hud{position:fixed;top:8px;left:8px}</style></head>
+<body><canvas id="c"></canvas><div id="hud"></div>
+<script>
+const DATA = __DATA__;
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+let yaw=-0.6, pitch=-0.35, dist=0.0, cx=0, cy=0, cz=0, zoom=40;
+(function(){ // center on the data
+  const all = DATA.points.concat(DATA.traj);
+  if(all.length){
+    let s=[0,0,0]; for(const p of all){s[0]+=p[0];s[1]+=p[1];s[2]+=p[2];}
+    cx=s[0]/all.length; cy=s[1]/all.length; cz=s[2]/all.length;
+  }
+})();
+function resize(){cv.width=innerWidth;cv.height=innerHeight;draw();}
+addEventListener('resize',resize);
+let drag=false,lx=0,ly=0;
+cv.addEventListener('mousedown',e=>{drag=true;lx=e.clientX;ly=e.clientY});
+addEventListener('mouseup',()=>drag=false);
+addEventListener('mousemove',e=>{if(!drag)return;yaw+=(e.clientX-lx)*0.005;
+  pitch+=(e.clientY-ly)*0.005;lx=e.clientX;ly=e.clientY;draw();});
+cv.addEventListener('wheel',e=>{zoom*=Math.exp(-e.deltaY*0.001);draw();e.preventDefault();});
+function proj(p){
+  let x=p[0]-cx, y=p[1]-cy, z=p[2]-cz;
+  let x1=x*Math.cos(yaw)+z*Math.sin(yaw), z1=-x*Math.sin(yaw)+z*Math.cos(yaw);
+  let y2=y*Math.cos(pitch)-z1*Math.sin(pitch), z2=y*Math.sin(pitch)+z1*Math.cos(pitch);
+  const s=zoom*300/(300+z2*zoom*0.02+dist);
+  return [cv.width/2+x1*s, cv.height/2+y2*s, z2];
+}
+function line(a,b,col,w){const pa=proj(a),pb=proj(b);ctx.strokeStyle=col;
+  ctx.lineWidth=w||1;ctx.beginPath();ctx.moveTo(pa[0],pa[1]);ctx.lineTo(pb[0],pb[1]);ctx.stroke();}
+function draw(){
+  ctx.fillStyle='#101014';ctx.fillRect(0,0,cv.width,cv.height);
+  ctx.fillStyle='#c8c8d0';
+  for(const p of DATA.points){const q=proj(p);ctx.fillRect(q[0]-1,q[1]-1,2,2);}
+  for(let i=1;i<DATA.traj.length;i++) line(DATA.traj[i-1],DATA.traj[i],'#e62828',2);
+  for(const f of DATA.frusta){ // 5 points: apex + 4 image-plane corners
+    for(let i=1;i<=4;i++){line(f[0],f[i],'#3ba7ff',1);
+      line(f[i],f[i%4+1],'#3ba7ff',1);}
+  }
+  document.getElementById('hud').textContent =
+    DATA.points.length+' landmarks | '+DATA.frusta.length+' keyframes | drag to orbit, wheel to zoom';
+}
+resize();
+</script></body></html>
+"""
+
+
+def export_html(
+    path: str,
+    world: map_state.WorldMap,
+    trajectory: np.ndarray | None = None,
+    frustum_scale: float = 0.4,
+    max_points: int = 20000,
+):
+    """Self-contained interactive HTML viewer of the current map state."""
+    pts, kf_poses, traj = _collect(world, trajectory)
+    if len(pts) > max_points:
+        sel = np.linspace(0, len(pts) - 1, max_points).astype(int)
+        pts = pts[sel]
+    frusta = []
+    s = frustum_scale
+    corners = np.array(
+        [[-s, -s * 0.6, s * 1.2], [s, -s * 0.6, s * 1.2], [s, s * 0.6, s * 1.2], [-s, s * 0.6, s * 1.2]]
+    )
+    for T in kf_poses:
+        apex = T[:3, 3]
+        cs = (T[:3, :3] @ corners.T).T + apex
+        frusta.append([apex.tolist()] + cs.tolist())
+    data = {
+        "points": np.round(pts, 3).tolist(),
+        "traj": np.round(traj, 3).tolist(),
+        "frusta": frusta,
+    }
+    with open(path, "w") as f:
+        f.write(_HTML_TEMPLATE.replace("__DATA__", json.dumps(data)))
