@@ -32,6 +32,9 @@ def _setup_cache():
 
 def main():
     _setup_cache()
+    import queue
+    import threading
+
     from vslam_tpu.models import local_mapper, map_state, tracker
     from vslam_tpu.utils import synthetic, trajectory
 
@@ -56,13 +59,40 @@ def main():
         for f in range(n_frames)
     ]
 
+    # background local-BA thread (the reference's LocalMapper thread,
+    # src/System.cpp:18-19): tracking never blocks on BA latency
+    ba_in: "queue.Queue[int]" = queue.Queue()
+    ba_out: "queue.Queue[dict]" = queue.Queue()
+    stop = threading.Event()
+
+    def ba_loop():
+        while not stop.is_set():
+            try:
+                slot = ba_in.get(timeout=0.01)
+            except queue.Empty:
+                continue
+            while True:  # drain to the newest KF (the reference BA's only the last)
+                try:
+                    slot = ba_in.get_nowait()
+                except queue.Empty:
+                    break
+            ba_out.put(mapper.run(slot))
+
+    thr = threading.Thread(target=ba_loop, daemon=True)
+    thr.start()
+
     def step(f):
+        while True:
+            try:
+                r = ba_out.get_nowait()
+            except queue.Empty:
+                break
+            trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+            trk.add_active(r["new_lm_ids"])
         n_kf = len(trk.new_kf_slots)
         trk.track(*frames[f])
         if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
-            r = mapper.run(trk.new_kf_slots[-1])
-            trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
-            trk.add_active(r["new_lm_ids"])
+            ba_in.put(trk.new_kf_slots[-1])
 
     warmup = 12
     for f in range(warmup):
@@ -71,8 +101,11 @@ def main():
     t0 = time.perf_counter()
     for f in range(warmup, n_frames):
         step(f)
+    trk.flush()
     dt = time.perf_counter() - t0
     fps = (n_frames - warmup) / dt
+    stop.set()
+    thr.join(timeout=10)
 
     poses = trk.trajectory()
     ate = trajectory.ate_rmse(poses, scene.poses_c2w[: len(poses)], align=False)

@@ -16,7 +16,10 @@ src/VIOSlam.cpp:17-21).
 
 import argparse
 import signal
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

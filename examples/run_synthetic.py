@@ -3,7 +3,10 @@
 Usage: python examples/run_synthetic.py [n_frames]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

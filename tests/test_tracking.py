@@ -36,17 +36,17 @@ def _run_tracking(scene, params, n_frames, with_ba=False):
         if with_ba
         else None
     )
-    poses = []
     for f in range(n_frames):
         n_kf = len(trk.new_kf_slots)
-        pose = trk.track(scene.render(f), scene.render(f, right=True))
-        poses.append(pose)
+        trk.track(scene.render(f), scene.render(f, right=True))
         if mapper is not None and len(trk.new_kf_slots) > n_kf:
             slot = trk.new_kf_slots[-1]
             if slot > 0:
                 r = mapper.run(slot)
                 trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
-    return trk, np.stack(poses)
+    # trajectory() drains the tracker's depth-1 dispatch pipeline and
+    # recomposes per-frame poses (aligned 1:1 with the input frames)
+    return trk, trk.trajectory()
 
 
 def test_stereo_tracking_follows_ground_truth(scene, small_params):
@@ -104,7 +104,6 @@ def test_stereo_imu_tracking_follows_ground_truth(scene, small_params):
     bins = datasets.bin_imu_per_frame(scene.imu, scene.times)
     n = 10
     prev_t = None
-    poses = []
     for f in range(n):
         rows = bins[f]
         dt_rows = None
@@ -114,8 +113,8 @@ def test_stereo_imu_tracking_follows_ground_truth(scene, small_params):
             dts = np.diff(np.concatenate([[p0], t]))
             prev_t = float(t[-1])
             dt_rows = np.concatenate([dts[:, None], rows[:, 1:7]], axis=1).astype(np.float32)
-        poses.append(trk.track(scene.render(f), scene.render(f, right=True), imu=dt_rows))
-    poses = np.stack(poses)
+        trk.track(scene.render(f), scene.render(f, right=True), imu=dt_rows)
+    poses = trk.trajectory()  # flushes the pipeline
     gt = scene.poses_c2w[:n]
     ate = trajectory.ate_rmse(poses, gt, align=False)
     assert ate < 0.08, ate
@@ -145,7 +144,6 @@ def test_mono_imu_tracking_follows_ground_truth(scene, small_params):
     bins = datasets.bin_imu_per_frame(scene.imu, scene.times)
     n = 12
     prev_t = None
-    poses = []
     for f in range(n):
         rows = bins[f]
         dt_rows = None
@@ -155,7 +153,7 @@ def test_mono_imu_tracking_follows_ground_truth(scene, small_params):
             dts = np.diff(np.concatenate([[p0], t]))
             prev_t = float(t[-1])
             dt_rows = np.concatenate([dts[:, None], rows[:, 1:7]], axis=1).astype(np.float32)
-        poses.append(trk.track(scene.render(f), imu=dt_rows))
+        trk.track(scene.render(f), imu=dt_rows)
         if trk.needs_init_triangulation:
             ids = mapper.find_new_points(trk.new_kf_slots[-1], mono=True)
             trk.add_active(ids)
@@ -163,7 +161,7 @@ def test_mono_imu_tracking_follows_ground_truth(scene, small_params):
             trk.last_kf_tracked = max(len(ids), 1)
             assert len(ids) > 20, "mono init triangulated too few landmarks"
     assert trk.initialized
-    poses = np.stack(poses)
+    poses = trk.trajectory()  # flushes the pipeline
     gt = scene.poses_c2w[:n]
     ate = trajectory.ate_rmse(poses, gt, align=False)
     # mono + exact IMU: metric-scale tracking should stay within ~15 cm

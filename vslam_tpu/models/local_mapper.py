@@ -151,7 +151,23 @@ def _triangulate_new_points(
         pts_tri, P_all, uv_all, mask, jnp.broadcast_to(inv_s2, mask.shape),
         chi2_thr=7.815, min_views=3,
     )
-    ok = ok_tri & cand
+    # conditioning gate (the analog of gtsam::triangulatePoint3's degeneracy
+    # exceptions, which the reference catches and skips at
+    # src/OptimizationBA.cpp:184-196): reprojection chi2 cannot see error
+    # ALONG the ray, so a low-parallax candidate passes validation with
+    # arbitrarily wrong depth — depth sigma ~ z^2 / (f * B) amplifies any
+    # keyframe-pose noise ~50x and destabilizes the tracking<->mapping
+    # feedback loop. Require depth < 40 x the widest observing baseline
+    # (the stereo close-point rule, include/FeatureMatcher.h:36, extended
+    # to the multi-view case).
+    centers = m.kf_pose[window_slots][:, :3, 3]  # (V, 3)
+    base_v = jnp.linalg.norm(centers - pose_n[:3, 3][None], axis=-1)  # (V,)
+    bl_views = jnp.where(key_views >= 0, base_v[: V - 1][:, None], 0.0)
+    max_bl = jnp.maximum(jnp.max(bl_views, axis=0), baseline)  # (Kk,)
+    T_nw = se3.inverse(pose_n)
+    z_new = se3.transform_points(T_nw, pts_tri)[:, 2]
+    conditioned = (z_new > 0.0) & (z_new < 40.0 * max_bl)
+    ok = ok_tri & cand & conditioned
 
     # --- compact to the spawn budget and assign slots ---
     order = jnp.argsort(~ok)  # ok candidates first (stable)
@@ -426,27 +442,28 @@ class LocalMapper:
                 n_levels=cfg.n_levels,
                 scale=cfg.scale,
             )
-        w.arrays = map_state.scatter_landmarks(
-            w.arrays,
-            spawn_dev,
-            r["spawn_pos"],
-            r["spawn_desc"],
-            r["spawn_maxdist"],
-            r["spawn_mindist"],
-            r["spawn_valid"],
-        )
-        w.arrays = _apply_triangulation(
-            w.arrays, slots_dev, r["slot_of_cand"], r["key_views"]
-        )
-        # host mirrors (slot_of_cand / key_views are small transfers)
-        soc = np.asarray(r["slot_of_cand"])
-        kv = np.asarray(r["key_views"])
-        has = soc >= 0
-        w.kf_obs_lm[kf_slot][has] = soc[has]
-        for v in range(WINDOW - 1):
-            if valid[v]:
-                okv = (kv[v] >= 0) & has
-                w.kf_obs_lm[slots[v]][kv[v][okv]] = soc[okv]
+        with w.update_lock:
+            w.arrays = map_state.scatter_landmarks(
+                w.arrays,
+                spawn_dev,
+                r["spawn_pos"],
+                r["spawn_desc"],
+                r["spawn_maxdist"],
+                r["spawn_mindist"],
+                r["spawn_valid"],
+            )
+            w.arrays = _apply_triangulation(
+                w.arrays, slots_dev, r["slot_of_cand"], r["key_views"]
+            )
+            # host mirrors (slot_of_cand / key_views are small transfers)
+            soc = np.asarray(r["slot_of_cand"])
+            kv = np.asarray(r["key_views"])
+            has = soc >= 0
+            w.kf_obs_lm[kf_slot][has] = soc[has]
+            for v in range(WINDOW - 1):
+                if valid[v]:
+                    okv = (kv[v] >= 0) & has
+                    w.kf_obs_lm[slots[v]][kv[v][okv]] = soc[okv]
         # unused tail of the spawn budget goes back to the allocator
         n_new = int(r["n_new"])
         w.release_landmarks(spawn[n_new:])
@@ -568,29 +585,30 @@ class LocalMapper:
         obs_kill_key = jnp.asarray(
             np.tile(np.arange(K_keys, dtype=np.int32), WINDOW)
         )
-        w.arrays = map_state.writeback_ba(
-            w.arrays,
-            jnp.asarray(kf_slots, jnp.int32),
-            jnp.asarray(kf_valid),
-            p2.poses,
-            jnp.asarray(lm_ids, jnp.int32),
-            jnp.asarray(lm_valid),
-            p2.pts,
-            obs_kill_kf,
-            obs_kill_key,
-            kill,
-        )
-        # host mirrors
-        new_poses = np.asarray(p2.poses)
-        for i, (slot, v) in enumerate(zip(kf_slots, kf_valid)):
-            if v:
-                w.kf_poses_host[slot] = new_poses[i]
-        kill_host = np.asarray(kill)
-        if kill_host.any():
-            kkf = np.asarray(obs_kill_kf)[kill_host]
-            kkey = np.asarray(obs_kill_key)[kill_host]
-            w.kf_obs_lm[kkf, kkey] = -1
-        self.ba_count += 1
+        with w.update_lock:
+            w.arrays = map_state.writeback_ba(
+                w.arrays,
+                jnp.asarray(kf_slots, jnp.int32),
+                jnp.asarray(kf_valid),
+                p2.poses,
+                jnp.asarray(lm_ids, jnp.int32),
+                jnp.asarray(lm_valid),
+                p2.pts,
+                obs_kill_kf,
+                obs_kill_key,
+                kill,
+            )
+            # host mirrors
+            new_poses = np.asarray(p2.poses)
+            for i, (slot, v) in enumerate(zip(kf_slots, kf_valid)):
+                if v:
+                    w.kf_poses_host[slot] = new_poses[i]
+            kill_host = np.asarray(kill)
+            if kill_host.any():
+                kkf = np.asarray(obs_kill_kf)[kill_host]
+                kkey = np.asarray(obs_kill_key)[kill_host]
+                w.kf_obs_lm[kkf, kkey] = -1
+            self.ba_count += 1
 
         return {
             "kf_slot": kf_slot,

@@ -193,6 +193,11 @@ class WorldMap:
         self.n_landmarks = 0
         self.n_keyframes = 0
         self._alloc_lock = threading.Lock()
+        # serializes read-modify-write updates of self.arrays (tracker KF
+        # commits vs async local-BA write-backs; the reference's mapMutex,
+        # include/Map.h:135 — here held only across the update *dispatch*,
+        # never across device execution)
+        self.update_lock = threading.RLock()
         # host mirrors
         self.kf_obs_lm = np.full((kf_capacity, keys_per_kf), -1, np.int64)
         self.kf_frame_idx = np.full(kf_capacity, -1, np.int64)

@@ -220,6 +220,7 @@ class VSlamSystem:
     def exit(self):
         """Drain the BA thread (the reference's ExitSystem is an empty stub,
         src/System.cpp:67-70 — here it actually joins)."""
+        self.tracker.flush()
         if self._ba_thread is not None:
             self._stop.set()
             self._ba_thread.join(timeout=10.0)

@@ -1,12 +1,22 @@
 """Per-frame tracking frontend (stereo and stereo-inertial).
 
 TPU-native re-design of reference FeatureTracker::TrackImage
-(src/FeatureTracker.cpp:1108-1278). The per-frame pipeline is three fused
-device programs (extraction+stereo matching; projection matching + motion-
-only LM; keyframe data preparation), with host control flow only for the
-adaptive-radius retry loop (1191-1233), the keyframe policy (1261-1267),
-and slot allocation. The map is a functional SoA (models/map_state.py);
-there are no mutexes — BA runs on a snapshot and writes back via scatter.
+(src/FeatureTracker.cpp:1108-1278). The whole tracked frame is ONE fused
+device program (`_track_step`): batched L+R extraction, stereo matching,
+IMU or constant-velocity prediction, the adaptive-radius projection-match +
+motion-only-LM retry loop, landmark aging — with ALL cross-frame state
+(pose, velocity, bias, active landmark set, miss ages) device-resident in a
+donated pytree. The host runs ONE frame behind (depth-1 pipeline): it
+dispatches frame N asynchronously, then reads frame N-1's already-computed
+64 KB result blob — so no host-device sync ever waits on pending compute.
+Over a remote TPU link the per-sync handshake (~27 ms measured) would
+otherwise dominate the frame budget; the pipeline removes it entirely and
+the frame rate becomes device-compute-bound.
+
+The keyframe policy therefore acts with one frame of latency (new landmarks
+spawned by KF N become visible to matching at frame N+2 instead of N+1) —
+behaviorally equivalent to the reference's asynchronous LocalMapper, which
+also publishes new landmarks a frame late.
 
 Contracts kept (SURVEY.md §2 row 9 constants):
 - adaptive match radius 10 -> +30 (<= 3 retries), first frame 120,
@@ -14,7 +24,7 @@ Contracts kept (SURVEY.md §2 row 9 constants):
 - chi2 outlier threshold 7.815 with per-octave information,
 - KF policy: nStereo < 80, or every 5th frame with tracked-ratio < 0.9
   (0.7 when > 350 keys), min inliers 50,
-- <= 100 new close-stereo landmarks per KF (maxAddedStereo? spawn budget),
+- <= 100 new close-stereo landmarks per KF (maxAddedStereo spawn budget),
 - constant-velocity next-pose prediction (updatePoses, 1699-1708),
 - landmark outlier aging after 20 missed frames (setActiveOutliers,
   1016-1034),
@@ -23,6 +33,7 @@ Contracts kept (SURVEY.md §2 row 9 constants):
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 
@@ -75,6 +86,9 @@ class TrackerParams:
     many_keys: int = 350
     outlier_age: int = 20
     close_factor: float = 40.0
+    # dispatch pipeline depth: 1 = host processes frame N-1 while the device
+    # computes frame N (hides the host<->device handshake); 0 = synchronous
+    pipeline_depth: int = 1
 
 
 @functools.partial(jax.jit, static_argnames=("params_static",))
@@ -83,17 +97,15 @@ def _frontend(left, right, fx, baseline, scale_factors, params_static):
     Accepts uint8 inputs (4x cheaper host->device upload) and casts on
     device."""
     nf, nl, sc, hi, lo, edge, close_factor = params_static
-    left = left.astype(jnp.float32)
-    right = right.astype(jnp.float32)
-    kl = extract.extract(
-        left, n_levels=nl, scale=sc, total=nf, edge_margin=edge, fast_hi=hi, fast_lo=lo
+    LR = jnp.stack([left, right]).astype(jnp.float32)
+    keys2 = extract.extract_batch(
+        LR, n_levels=nl, scale=sc, total=nf, edge_margin=edge, fast_hi=hi, fast_lo=lo
     )
-    kr = extract.extract(
-        right, n_levels=nl, scale=sc, total=nf, edge_margin=edge, fast_hi=hi, fast_lo=lo
-    )
+    kl = jax.tree.map(lambda a: a[0], keys2)
+    kr = jax.tree.map(lambda a: a[1], keys2)
     st = stereo_match.match_stereo(
-        left,
-        right,
+        LR[0],
+        LR[1],
         kl.xy,
         kl.octave,
         kl.desc,
@@ -112,12 +124,22 @@ def _frontend(left, right, fx, baseline, scale_factors, params_static):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params_static", "width", "height", "n_levels", "min_inliers", "mono"),
+    static_argnames=(
+        "params_static",
+        "width",
+        "height",
+        "n_levels",
+        "min_inliers",
+        "mono",
+        "has_imu",
+    ),
+    donate_argnames=("state",),
 )
-def _track_frame(
-    LR,  # (2, H, W) stacked left/right (uint8 ok; cast on device)
-    T_pred,
-    active,
+def _track_step(
+    LR,  # (2, H, W) stacked left/right, or (1, H, W) mono (uint8; cast on device)
+    state,  # device-resident tracker state pytree (donated)
+    imu_samples,  # (S, 7) [dt, gyro, accel] rows (dt==0 pads) — ignored if not has_imu
+    imu_const,  # (gravity_w (3,), T_bc (4,4), ImuParams) — dummies if not has_imu
     radii,  # (R,) adaptive radius schedule (reference 1191-1233)
     refine_radius,
     desc_thr,
@@ -125,32 +147,33 @@ def _track_frame(
     K,
     baseline,
     scale_factors,
-    imu_args,  # None, or (samples (S,7), T_prev_wc, v_prev, bias_prev,
-    #            gravity_w, T_bc, ImuParams) — enables the visual-inertial
-    #            15-dof solve (reference estimatePoseGTSAM IMU branch)
     params_static,
     width: int,
     height: int,
     n_levels: int,
     min_inliers: int,
     mono: bool = False,
+    has_imu: bool = False,
 ):
-    """ONE device program for a whole tracked frame: extraction on both
-    images, stereo matching, the adaptive-radius projection-match + motion-
-    only-LM retry loop (reference src/FeatureTracker.cpp:1191-1233) as a
-    lax.while_loop, and the radius-4 refine pass (1236-1241). Keeping the
-    retry loop on device removes per-retry host round-trips — the frames/s
-    ceiling over a remote TPU link is dispatch latency, not FLOPs.
+    """ONE device program for a whole tracked frame: batched extraction,
+    stereo matching, motion prediction, the adaptive-radius projection-match
+    + motion-only-LM retry loop (reference src/FeatureTracker.cpp:1191-1233)
+    as a lax.while_loop, the radius-4 refine pass (1236-1241), and landmark
+    miss-aging (setActiveOutliers, 1016-1034). Returns (new_state, outputs)
+    where outputs carry the per-frame device arrays a keyframe insertion
+    needs, plus a single packed f32 blob for the one host fetch per frame.
 
     mono=True drops the right image + stereo matching (reference
-    TrackImageMonoIMU, src/FeatureTracker.cpp:1280-1495): all observations
-    become projection-only and landmarks are spawned solely by multi-view
-    triangulation in the mapper."""
+    TrackImageMonoIMU, src/FeatureTracker.cpp:1280-1495)."""
     nf, nl, sc, hi, lo, edge, close_factor = params_static
-    left = LR[0].astype(jnp.float32)
-    kl = extract.extract(
-        left, n_levels=nl, scale=sc, total=nf, edge_margin=edge, fast_hi=hi, fast_lo=lo
+    active = state["active"]
+    pose_prev = state["pose"]  # previous frame's solved pose at entry
+
+    imgs = LR.astype(jnp.float32)
+    keysb = extract.extract_batch(
+        imgs, n_levels=nl, scale=sc, total=nf, edge_margin=edge, fast_hi=hi, fast_lo=lo
     )
+    kl = jax.tree.map(lambda a: a[0], keysb)
     if mono:
         N = kl.xy.shape[0]
         st = {
@@ -160,13 +183,10 @@ def _track_frame(
             "est_right_x": jnp.full((N,), -1.0, jnp.float32),
         }
     else:
-        right = LR[1].astype(jnp.float32)
-        kr = extract.extract(
-            right, n_levels=nl, scale=sc, total=nf, edge_margin=edge, fast_hi=hi, fast_lo=lo
-        )
+        kr = jax.tree.map(lambda a: a[1], keysb)
         st = stereo_match.match_stereo(
-            left,
-            right,
+            imgs[0],
+            imgs[1],
             kl.xy,
             kl.octave,
             kl.desc,
@@ -182,14 +202,20 @@ def _track_frame(
         )
     keys = kl
 
+    # constant-velocity prediction (reference updatePoses, 1699-1708)
+    vel_T = pose_prev @ se3.inverse(state["prev_pose"])
+    T_pred = vel_T @ pose_prev
+
     # IMU prediction + preintegration (reference PredictNextPoseIMU,
     # src/FeatureTracker.cpp:1036-1106): overrides the constant-velocity
     # prediction whenever real samples are present.
-    if imu_args is not None:
-        (imu_samples, T_prev_wc, v_prev, bias_prev, gravity_w, T_bc, imu_params) = imu_args
+    if has_imu:
+        gravity_w, T_bc, imu_params = imu_const
+        v_prev = state["vel"]
+        bias_prev = state["bias"]
         T_cb = se3.inverse(T_bc)
         pre = imu_ops.preintegrate(imu_samples, bias_prev, imu_params)
-        T_prev_wb = T_prev_wc @ T_cb
+        T_prev_wb = pose_prev @ T_cb
         T_pred_wb, v_pred = imu_ops.predict(
             T_prev_wb, v_prev, pre, bias_prev, bias_prev, gravity_w
         )
@@ -230,18 +256,37 @@ def _track_frame(
         )
         is_stereo = matched & st["matched"][safe]
         w = extract.inv_sigma2(keys.octave[safe], n_levels)
-        if imu_args is None:
-            T_opt, chi2, inl, _ = lm.motion_only_ba(
-                T_base,
-                active["pos"],
-                obs,
-                w,
-                is_stereo,
-                jnp.zeros_like(matched),
-                matched,
-                K,
-                baseline,
-            )
+        if not has_imu:
+            # MULTI-START: solve from the constant-velocity prediction AND
+            # from the previous frame's (unextrapolated) pose, keep the
+            # better solution. The reprojection cost on a drifting map can
+            # hold a spurious local minimum near the extrapolated prediction
+            # (prediction error is 2e_t - e_{t-1}, twice the tracking
+            # error); the previous pose is only e_t away and stays in the
+            # true basin, so the selection breaks the exponential
+            # drift-confirmation feedback loop. Selection: most final
+            # inliers, then lowest final cost.
+            def solve_from(T0):
+                return lm.motion_only_ba(
+                    T0,
+                    active["pos"],
+                    obs,
+                    w,
+                    is_stereo,
+                    jnp.zeros_like(matched),
+                    matched,
+                    K,
+                    baseline,
+                    max_iters=100,
+                )
+
+            Ta, chi2a, inla, ra = solve_from(T_base)
+            Tb, chi2b, inlb, rb = solve_from(pose_prev)
+            na, nb = jnp.sum(inla), jnp.sum(inlb)
+            use_b = (nb > na) | ((nb == na) & (rb.error < ra.error))
+            T_opt = jnp.where(use_b, Tb, Ta)
+            chi2 = jnp.where(use_b, chi2b, chi2a)
+            inl = jnp.where(use_b, inlb, inla)
             v_opt, b_opt = v_base, b_base
         else:
             T_opt, v_opt, b_opt, chi2, inl, _ = lm.motion_only_ba_imu(
@@ -262,6 +307,7 @@ def _track_frame(
                 matched,
                 K,
                 baseline,
+                max_iters=100,
             )
         inliers = matched & inl
         return (
@@ -278,11 +324,11 @@ def _track_frame(
         )
 
     A = active["pos"].shape[0]
-    if imu_args is not None:
+    if has_imu:
         v0, b0 = v_pred, bias_prev
     else:
-        v0 = jnp.zeros((3,), jnp.float32)
-        b0 = jnp.zeros((6,), jnp.float32)
+        v0 = state["vel"]
+        b0 = state["bias"]
     init = (
         jnp.int32(0),  # schedule index
         T_pred,
@@ -312,6 +358,21 @@ def _track_frame(
         T_opt, v_opt, b_opt, refine_radius
     )
 
+    # outlier aging: only landmarks that projected into this frame but were
+    # not matched accrue age (reference setActiveOutliers, 1016-1034)
+    miss_age = jnp.where(
+        inliers, 0, state["miss_age"] + (in_frame & ~inliers).astype(jnp.int32)
+    )
+
+    new_state = {
+        "pose": T_opt,
+        "prev_pose": pose_prev,
+        "vel": v_opt,
+        "bias": b_opt,
+        "active": active,
+        "miss_age": miss_age,
+    }
+
     stats = jnp.stack(
         [
             n_m,
@@ -320,15 +381,19 @@ def _track_frame(
             jnp.sum(keys.valid).astype(jnp.int32),
             jnp.sum(st["matched"]).astype(jnp.int32),
         ]
-    )
-    # single host-transfer blob: [midx | inliers | in_frame | stats]
+    ).astype(jnp.float32)
+    # the ONE device->host transfer per frame:
+    # [pose 16 | vel 3 | bias 6 | stats 5 | miss_age A]
     blob = jnp.concatenate(
-        [midx, inliers.astype(jnp.int32), in_frame.astype(jnp.int32), stats]
+        [
+            T_opt.reshape(-1),
+            v_opt,
+            b_opt,
+            stats,
+            miss_age.astype(jnp.float32),
+        ]
     )
-    return {
-        "T": T_opt,
-        "v": v_opt,
-        "bias": b_opt,
+    outputs = {
         "keys": keys,
         "st": st,
         "lm_pred": lm_pred,
@@ -337,9 +402,12 @@ def _track_frame(
         "in_frame": in_frame,
         "blob": blob,
     }
+    return new_state, outputs
 
 
-@functools.partial(jax.jit, static_argnames=("spawn", "n_levels", "scale"))
+@functools.partial(
+    jax.jit, static_argnames=("spawn", "n_levels", "scale", "width", "height")
+)
 def _prepare_keyframe(
     T_kf,
     keys: extract.Keys,
@@ -349,14 +417,18 @@ def _prepare_keyframe(
     st_close,
     match_idx,  # (A,) per-active-landmark key index or -1
     inliers,  # (A,)
-    active_ids,  # (A,) global landmark slots
+    active_ids,  # (A,) global landmark slots (layout match_idx refers to)
     spawn_slots,  # (spawn,) preallocated global slots
-    lm_pred,  # (A, 2) predicted landmark pixels (for spawn suppression)
-    lm_in_frame,  # (A,) bool
+    m: map_state.MapArrays,  # current world snapshot (for spawn suppression)
+    sup_ids,  # (A,) CURRENT active landmark ids incl. the last KF's spawns
+    lm_pred,  # (A, 2) the tracked frame's own predicted landmark pixels
+    lm_in_frame,  # (A,) bool — in-frame mask for lm_pred
     K,
     spawn: int,
     n_levels: int,
     scale: float,
+    width: int,
+    height: int,
 ):
     """Build the KF observation table + spawn new close-stereo landmarks
     (reference insertKeyFrame, src/FeatureTracker.cpp:743-842)."""
@@ -370,16 +442,48 @@ def _prepare_keyframe(
     )[:N]
 
     # spawn candidates: close stereo keys not matched to a landmark AND not
-    # within the suppression radius of any predicted in-frame landmark —
-    # otherwise every ratio-test near-miss re-spawns a duplicate of an
-    # existing landmark and the map degrades into ambiguous clones (the
-    # reference is partially protected by its unMatchedF bookkeeping,
-    # include/KeyFrame.h:29-30; this is the masked-tensor equivalent).
-    diff = keys.xy[:, None, :] - lm_pred[None, :, :]
+    # within the suppression radius of any existing active landmark
+    # projected into THIS keyframe — otherwise every ratio-test near-miss
+    # (and, under the dispatch pipeline, every landmark spawned by the
+    # previous keyframe that this frame never saw) re-spawns a duplicate of
+    # an existing landmark, and the map degrades into ambiguous clones that
+    # the ratio test then rejects wholesale (the reference is protected by
+    # its unMatchedF bookkeeping, include/KeyFrame.h:29-30; this is the
+    # masked-tensor equivalent). The suppression set is gathered from the
+    # CURRENT world snapshot, so back-to-back keyframes see each other's
+    # spawns even though the tracked frame itself did not.
+    sup_safe = jnp.where(sup_ids >= 0, sup_ids, 0)
+    sup_valid = (sup_ids >= 0) & m.lm_valid[sup_safe]
+    sup_proj = project_match.predict_and_cull(
+        T_kf,
+        m.lm_pos[sup_safe],
+        sup_valid,
+        K,
+        jnp.float32(0.0),
+        width,
+        height,
+        m.lm_maxdist[sup_safe],
+        m.lm_mindist[sup_safe],
+        n_levels=n_levels,
+    )
+    world_pred = sup_proj["pred_l"]
+    # only landmarks MATCHABLE in this keyframe suppress spawns: in-frame
+    # AND inside their scale band (predict_and_cull's in_l). A landmark
+    # that merely projects here but can no longer be matched (out of its
+    # scale band under forward motion) must NOT block its replacement —
+    # that starves the map.
+    world_in = sup_proj["in_l"]
+    sup_all = jnp.concatenate([lm_pred, world_pred], axis=0)
+    sup_in = jnp.concatenate([lm_in_frame, world_in], axis=0)
+    diff = keys.xy[:, None, :] - sup_all[None, :, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(lm_in_frame[None, :], d2, jnp.inf)
+    d2 = jnp.where(sup_in[None, :], d2, jnp.inf)
     near_existing = jnp.min(d2, axis=1) < (8.0 * 8.0)
-    cand = keys.valid & st_close & (key_lm < 0) & ~near_existing
+    # close stereo keys only, ascending depth (reference spawns close-only,
+    # src/FeatureTracker.cpp:743-842 — far stereo depths are too uncertain
+    # to anchor the map; multi-view triangulation covers them once the
+    # window offers real baselines)
+    cand = keys.valid & st_close & (key_lm < 0) & ~near_existing & (st_depth > 0)
     order = jnp.argsort(jnp.where(cand, st_depth, jnp.inf))
     take = order[:spawn]
     take_valid = cand[take]
@@ -453,6 +557,36 @@ def _imu_predict(samples, T_prev_wc, v_prev, bias_prev, gravity_w, T_bc, imu_par
     return jnp.where(keep, T_pred_wb @ T_bc, T_prev_wc), jnp.where(keep, v_pred, v_prev)
 
 
+@jax.jit
+def _apply_delta(state, delta):
+    """Premultiply the device-state poses by a BA re-anchoring delta
+    (reference changePosesLCA, src/FeatureTracker.cpp:884-908)."""
+    return {
+        **state,
+        "pose": delta @ state["pose"],
+        "prev_pose": delta @ state["prev_pose"],
+    }
+
+
+def _map_ages(targets: np.ndarray, layout: np.ndarray, ages: np.ndarray) -> np.ndarray:
+    """Look up each target landmark id's miss age in a (layout, ages) pair
+    from a possibly older active-set layout; ids not present age 0."""
+    out = np.zeros(len(targets), np.int64)
+    src = layout >= 0
+    lay = layout[src]
+    ag = ages[src]
+    if len(lay) == 0:
+        return out
+    order = np.argsort(lay)
+    lay_s = lay[order]
+    ag_s = ag[order]
+    pos = np.searchsorted(lay_s, targets)
+    pos_c = np.clip(pos, 0, len(lay_s) - 1)
+    hit = (targets >= 0) & (lay_s[pos_c] == targets)
+    out[hit] = ag_s[pos_c[hit]]
+    return out
+
+
 def sufficient_motion(T_a: np.ndarray, T_b: np.ndarray, min_baseline: float = 0.1, min_angle_deg: float = 5.0) -> bool:
     """Reference checkSufficientMovement (include/Conversions.h:112-137):
     enough baseline OR rotation between two poses to attempt mono init."""
@@ -463,7 +597,13 @@ def sufficient_motion(T_a: np.ndarray, T_b: np.ndarray, min_baseline: float = 0.
 
 
 class StereoTracker:
-    """Host orchestration of the per-frame loop (reference TrackImage)."""
+    """Host orchestration of the per-frame loop (reference TrackImage).
+
+    Runs a depth-1 pipeline: `track()` dispatches the frame asynchronously
+    and processes the PREVIOUS frame's results (pose bookkeeping, KF policy,
+    KF insertion). `flush()` drains the pipeline; `trajectory()` flushes
+    automatically. `self.pose` always reflects the newest PROCESSED frame.
+    """
 
     def __init__(
         self,
@@ -488,6 +628,18 @@ class StereoTracker:
                     accel_walk=jnp.float32(imu_cfg.accel_walk),
                 ),
             )
+        else:
+            # static dummies so the jit signature stays stable
+            self._imu_const = (
+                jnp.zeros(3, jnp.float32),
+                jnp.eye(4, dtype=jnp.float32),
+                imu_ops.ImuParams(
+                    gyro_noise=jnp.float32(1e-4),
+                    accel_noise=jnp.float32(1e-3),
+                    gyro_walk=jnp.float32(1e-5),
+                    accel_walk=jnp.float32(1e-3),
+                ),
+            )
         self.velocity = np.zeros(3, np.float32)  # world-frame body velocity
         self.bias = np.zeros(6, np.float32)  # [ba, bg]
         self.K = jnp.asarray(K, jnp.float32)
@@ -506,21 +658,33 @@ class StereoTracker:
             p.edge_margin,
             p.close_factor,
         )
+        self._radii = jnp.asarray(list(p.radius_schedule), jnp.float32)
+        self._radii_first = jnp.full(
+            (len(p.radius_schedule),), p.first_frame_radius, jnp.float32
+        )
+        self._imu_dummy = jnp.zeros(
+            ((imu_cfg.max_samples if imu_cfg else 1), 7), jnp.float32
+        )
 
         self.frame_idx = 0
-        self.pose = np.eye(4, dtype=np.float32)  # current cam-to-world
+        self.pose = np.eye(4, dtype=np.float32)  # newest PROCESSED cam-to-world
         self.prev_pose = np.eye(4, dtype=np.float32)
-        self.pred_pose = np.eye(4, dtype=np.float32)
         self.last_kf_tracked = 0
         self.last_kf_frame = 0
         self.last_kf_slot = -1
-        # host active-set bookkeeping
+        self.last_stats = {}
+        # host active-set bookkeeping (layout for the NEXT dispatch)
         self.active_ids = np.full(p.active_size, -1, np.int64)
         self.miss_age = np.zeros(p.active_size, np.int64)
         # per-frame trajectory: (ref KF slot, relative pose) records
         self.frame_records: list[tuple[int, np.ndarray]] = []
         self.new_kf_slots: list[int] = []
         self._mono = False
+        self._state = None  # device state pytree (set after frame 0)
+        self._pending = collections.deque()  # unprocessed (frame, outputs, layout, D)
+        # cumulative BA re-anchoring delta: blobs of frames dispatched BEFORE
+        # a reanchor carry the old anchor and are corrected at process time
+        self._D = np.eye(4, dtype=np.float32)
 
     def set_gravity(self, gravity_w: np.ndarray):
         """Install the measured-gravity vector (reference computes it from
@@ -532,21 +696,37 @@ class StereoTracker:
         self._imu_const = (jnp.asarray(self.imu_cfg.gravity_w), T_bc, prm)
 
     # ------------------------------------------------------------------
-    def _active_gather(self):
+    def _gather_active_dev(self):
         ids = jnp.asarray(self.active_ids, jnp.int32)
         return map_state.gather_active(
             self.world.arrays, ids, self.params.active_size
         )
 
-    def _refresh_active(self, new_ids: np.ndarray):
-        """Merge newly-observed landmark ids into the active set, dropping
-        aged-out landmarks (reference activeMapPoints maintenance +
-        setActiveOutliers aging). Miss ages are PRESERVED across the merge
-        so stale landmarks actually retire after `outlier_age` misses."""
+    def _fresh_state(self, pose: np.ndarray):
+        # pose and prev_pose must be DISTINCT buffers: the state is donated
+        # to _track_step, and XLA rejects donating one buffer twice
+        return {
+            "pose": jnp.asarray(np.asarray(pose), jnp.float32),
+            "prev_pose": jnp.asarray(np.asarray(pose).copy(), jnp.float32),
+            "vel": jnp.asarray(self.velocity),
+            "bias": jnp.asarray(self.bias),
+            "active": self._gather_active_dev(),
+            "miss_age": jnp.asarray(self.miss_age, jnp.int32),
+        }
+
+    def _refresh_active(self, new_ids: np.ndarray, layout: np.ndarray, ages: np.ndarray):
+        """Merge newly-observed landmark ids into the CURRENT active set,
+        dropping aged-out landmarks (reference activeMapPoints maintenance +
+        setActiveOutliers aging). `layout`/`ages` describe the frame whose
+        blob produced the ages — they may LAG the current layout when an
+        async BA inserted landmarks between that frame's dispatch and now;
+        merging from `layout` instead of `self.active_ids` would silently
+        drop those BA landmarks and starve the map."""
         cur = self.active_ids
-        alive = (cur >= 0) & (self.miss_age <= self.params.outlier_age)
+        cur_age = _map_ages(cur, layout, ages)
+        alive = (cur >= 0) & (cur_age <= self.params.outlier_age)
         keep = cur[alive]
-        keep_age = self.miss_age[alive]
+        keep_age = cur_age[alive]
         merged = np.unique(np.concatenate([keep, new_ids[new_ids >= 0]]))
         A = self.params.active_size
         if len(merged) > A:
@@ -562,79 +742,93 @@ class StereoTracker:
             new_age[pos[inside]] = keep_age[order][inside]
         self.active_ids = out
         self.miss_age = new_age
+        # splice the refreshed active arrays + ages into the next dispatch
+        if self._state is not None:
+            self._state = {
+                **self._state,
+                "active": self._gather_active_dev(),
+                "miss_age": jnp.asarray(self.miss_age, jnp.int32),
+            }
 
     # ------------------------------------------------------------------
     def track(self, left: np.ndarray, right: np.ndarray | None = None, imu: np.ndarray | None = None):
-        """Process one rectified stereo pair (or a mono frame when this is a
-        MonoTracker); returns the cam-to-world pose."""
+        """Dispatch one rectified stereo pair (or mono frame); processes the
+        previous frame's results and returns the newest PROCESSED pose."""
         p = self.params
-        # one stacked uint8 upload (cast happens on device)
         LR = jnp.asarray(np.stack([left, right]) if right is not None else left[None])
 
         if self.frame_idx == 0:
-            keys, st = _frontend(
+            kl, st = _frontend(
                 LR[0], LR[1], self.K[0, 0], self.baseline, self.scale_factors, self._static
             )
-            self._initialize_map(keys, st)
+            self._initialize_map(kl, st)
+            self._state = self._fresh_state(self.pose)
             self.frame_idx += 1
             return self.pose.copy()
 
-        T_pred = jnp.asarray(self.pred_pose)
-        active = self._active_gather()
-
-        # same static length for frame 1 (single wide radius, repeated —
-        # while_loop exits once min_inliers is reached)
-        n_r = len(p.radius_schedule)
-        schedule = (
-            [p.first_frame_radius] * n_r
-            if self.frame_idx == 1
-            else list(p.radius_schedule)
-        )
-        imu_args = None
-        if imu is not None and self.imu_cfg is not None:
+        has_imu = imu is not None and self.imu_cfg is not None
+        if has_imu:
             S = self.imu_cfg.max_samples
             samples = np.zeros((S, 7), np.float32)
             rows = np.asarray(imu, np.float32)[:S]
             samples[: len(rows)] = rows  # [dt, gyro, accel]; dt==0 pads are no-ops
-            gravity, T_bc, imu_params = self._imu_const
-            imu_args = (
-                jnp.asarray(samples),
-                jnp.asarray(self.pose),  # pose of the PREVIOUS frame at entry
-                jnp.asarray(self.velocity),
-                jnp.asarray(self.bias),
-                gravity,
-                T_bc,
-                imu_params,
-            )
-        res = _track_frame(
+            imu_dev = jnp.asarray(samples)
+        else:
+            imu_dev = self._imu_dummy
+
+        radii = self._radii_first if self.frame_idx == 1 else self._radii
+        self._state, outputs = _track_step(
             LR,
-            T_pred,
-            active,
-            jnp.asarray(schedule, jnp.float32),
+            self._state,
+            imu_dev,
+            self._imu_const,
+            radii,
             jnp.float32(p.refine_radius),
             jnp.float32(p.desc_thr),
             jnp.float32(p.ratio),
             self.K,
             self.baseline,
             self.scale_factors,
-            imu_args,
             self._static,
             self.width,
             self.height,
             p.n_levels,
             p.min_inliers,
             mono=self._mono,
+            has_imu=self.imu_cfg is not None,
         )
-        keys, st = res["keys"], res["st"]
-        T_opt, midx, inl, lm_pred, in_frame = (
-            res["T"], res["midx"], res["inliers"], res["lm_pred"], res["in_frame"]
+        self._pending.append(
+            (self.frame_idx, outputs, self.active_ids.copy(), self._D.copy())
         )
-        # ONE device->host transfer for all per-frame scalars/masks
-        blob = np.asarray(res["blob"])
+        self.frame_idx += 1
+        while len(self._pending) > self.params.pipeline_depth:
+            self._process(*self._pending.popleft())
+        return self.pose.copy()
+
+    def flush(self):
+        """Drain the pipeline (process all dispatched-but-unprocessed
+        frames)."""
+        while self._pending:
+            self._process(*self._pending.popleft())
+
+    # ------------------------------------------------------------------
+    def _process(self, frame_idx: int, outputs: dict, layout: np.ndarray, D_dispatch: np.ndarray):
+        """Host-side completion of a tracked frame: ONE fetch of the packed
+        blob, pose bookkeeping, KF policy, KF insertion. Any BA re-anchoring
+        applied since this frame was dispatched is re-applied to its blob."""
+        p = self.params
+        blob = np.asarray(outputs["blob"])
         A = p.active_size
-        inl_host = blob[A : 2 * A].astype(bool)
-        in_frame_host = blob[2 * A : 3 * A].astype(bool)
-        n_m, n_inl, n_stereo_inl, n_keys, n_stereo_keys = (int(x) for x in blob[3 * A :])
+        corr = self._D @ np.linalg.inv(D_dispatch)
+        pose = (corr @ blob[:16].reshape(4, 4)).astype(np.float32)
+        self.prev_pose = self.pose
+        self.pose = pose
+        self.velocity = (corr[:3, :3] @ blob[16:19]).astype(np.float32)
+        self.bias = blob[19:25].astype(np.float32)
+        n_m, n_inl, n_stereo_inl, n_keys, n_stereo_keys = (
+            int(x) for x in blob[25:30]
+        )
+        ages = blob[30 : 30 + A].astype(np.int64)
         self.last_stats = {
             "n_matched": n_m,
             "n_inliers": n_inl,
@@ -643,37 +837,23 @@ class StereoTracker:
             "n_stereo_keys": n_stereo_keys,
         }
 
-        self.prev_pose = self.pose
-        self.pose = np.asarray(T_opt)
-        if imu_args is not None:
-            self.velocity = np.asarray(res["v"])
-            self.bias = np.asarray(res["bias"])
-
-        # outlier aging: only landmarks that projected into this frame but
-        # were not matched accrue age (reference setActiveOutliers only ages
-        # in-frame misses, src/FeatureTracker.cpp:1016-1034)
-        self.miss_age[in_frame_host & ~inl_host] += 1
-        self.miss_age[inl_host] = 0
-
-        is_kf = self._kf_decision(n_keys, n_inl, n_stereo_inl)
-        if is_kf:
-            self._insert_keyframe(keys, st, midx, inl, T_opt, lm_pred, in_frame)
+        if self._kf_decision(frame_idx, n_keys, n_inl, n_stereo_inl):
+            self._insert_keyframe(frame_idx, pose, outputs, layout, ages)
             self.last_kf_tracked = n_inl
-            self.last_kf_frame = self.frame_idx
+            self.last_kf_frame = frame_idx
         else:
             # non-KF record: pose relative to the last KF (reference addFrame)
             ref = self.world.kf_poses_host[self.last_kf_slot]
             rel = np.linalg.inv(ref) @ self.pose
             self.frame_records.append((self.last_kf_slot, rel.astype(np.float32)))
+            # ages advance on device; keep the host mirror (remapped if the
+            # layout moved since this frame was dispatched) for checkpoints
+            if np.array_equal(layout, self.active_ids):
+                self.miss_age = ages
+            else:
+                self.miss_age = _map_ages(self.active_ids, layout, ages)
 
-        # constant-velocity prediction (reference updatePoses, 1699-1708)
-        vel = self.pose @ np.linalg.inv(self.prev_pose)
-        self.pred_pose = (vel @ self.pose).astype(np.float32)
-
-        self.frame_idx += 1
-        return self.pose.copy()
-
-    def _kf_decision(self, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:
+    def _kf_decision(self, frame_idx: int, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:
         """Keyframe policy (reference src/FeatureTracker.cpp:1261-1267)."""
         p = self.params
         ratio_thr = (
@@ -682,7 +862,7 @@ class StereoTracker:
         return (
             n_stereo_inl < p.kf_min_stereo
             or (
-                self.frame_idx - self.last_kf_frame >= p.kf_every
+                frame_idx - self.last_kf_frame >= p.kf_every
                 and n_inl < ratio_thr * max(self.last_kf_tracked, 1)
             )
         ) and n_inl >= p.min_inliers // 2
@@ -706,40 +886,59 @@ class StereoTracker:
             jnp.zeros((p.active_size,), bool),
             jnp.full((p.active_size,), -1, jnp.int32),
             spawn_dev,
+            self.world.arrays,
+            jnp.full((p.active_size,), -1, jnp.int32),
             jnp.zeros((p.active_size, 2), jnp.float32),
             jnp.zeros((p.active_size,), bool),
             self.K,
             spawn=p.n_features,
             n_levels=p.n_levels,
             scale=p.scale,
+            width=self.width,
+            height=self.height,
         )
-        self._commit_keyframe(kf_slot, jnp.asarray(self.pose), keys, data, spawn_dev, avail, spawn_host)
-        self.last_kf_tracked = int(jnp.sum(data["spawn_valid"]))
+        self._commit_keyframe(
+            kf_slot, jnp.asarray(self.pose), keys, data, spawn_dev, avail,
+            spawn_host, self.active_ids, self.miss_age,
+        )
+        self.last_kf_tracked = int(np.asarray(jnp.sum(data["spawn_valid"])))
         self.last_kf_frame = 0
 
-    def _insert_keyframe(self, keys, st, midx, inl, T_opt, lm_pred, in_frame):
+    def _insert_keyframe(self, frame_idx: int, pose: np.ndarray, outputs: dict, layout: np.ndarray, ages: np.ndarray):
+        # `pose` is the blob-derived (re-anchoring-corrected) host pose; the
+        # device outputs["T"] may alias the donated state buffer and must
+        # not be consumed after the next frame was dispatched
         p = self.params
-        kf_slot = self.world.alloc_keyframe(self.frame_idx)
+        keys, st = outputs["keys"], outputs["st"]
+        kf_slot = self.world.alloc_keyframe(frame_idx)
         spawn_dev, avail, spawn_host = self._alloc_spawn(p.spawn_per_kf)
+        T_kf_dev = jnp.asarray(pose, jnp.float32)
         data = _prepare_keyframe(
-            T_opt,
+            T_kf_dev,
             keys,
             st["depth"],
             st["est_right_x"],
             st["matched"],
             st["close"],
-            midx,
-            inl,
-            jnp.asarray(self.active_ids, jnp.int32),
+            outputs["midx"],
+            outputs["inliers"],
+            jnp.asarray(layout, jnp.int32),
             spawn_dev,
-            lm_pred,
-            in_frame,
+            self.world.arrays,
+            jnp.asarray(self.active_ids, jnp.int32),
+            outputs["lm_pred"],
+            outputs["in_frame"],
             self.K,
             spawn=p.spawn_per_kf,
             n_levels=p.n_levels,
             scale=p.scale,
+            width=self.width,
+            height=self.height,
         )
-        self._commit_keyframe(kf_slot, T_opt, keys, data, spawn_dev, avail, spawn_host)
+        self._commit_keyframe(
+            kf_slot, T_kf_dev, keys, data, spawn_dev, avail, spawn_host,
+            layout, ages,
+        )
 
     def _alloc_spawn(self, count: int):
         """Reserve `count` landmark slots; returns (slots_dev (count,),
@@ -752,35 +951,39 @@ class StereoTracker:
         avail = jnp.asarray(np.arange(count) < len(slots))
         return slots_dev, avail, slots
 
-    def _commit_keyframe(self, kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host=None):
+    def _commit_keyframe(
+        self, kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host=None,
+        layout: np.ndarray | None = None, ages: np.ndarray | None = None,
+    ):
         w = self.world
-        w.arrays = map_state.scatter_landmarks(
-            w.arrays,
-            spawn_dev,
-            data["spawn_pos"],
-            data["spawn_desc"],
-            data["spawn_maxdist"],
-            data["spawn_mindist"],
-            data["spawn_valid"] & avail,
-        )
-        w.arrays = map_state.refresh_descriptors(
-            w.arrays, data["refresh_ids"], data["refresh_desc"]
-        )
-        w.arrays = map_state.scatter_keyframe(
-            w.arrays,
-            jnp.asarray(kf_slot, jnp.int32),
-            T_kf,
-            data["obs_uv"],
-            data["obs_oct"],
-            data["obs_stereo"],
-            data["key_lm"],
-            keys.desc,
-            keys.valid,
-        )
-        # host mirrors
-        key_lm_host = np.asarray(data["key_lm"])
-        w.kf_obs_lm[kf_slot] = key_lm_host
-        w.kf_poses_host[kf_slot] = np.asarray(T_kf)
+        with w.update_lock:
+            w.arrays = map_state.scatter_landmarks(
+                w.arrays,
+                spawn_dev,
+                data["spawn_pos"],
+                data["spawn_desc"],
+                data["spawn_maxdist"],
+                data["spawn_mindist"],
+                data["spawn_valid"] & avail,
+            )
+            w.arrays = map_state.refresh_descriptors(
+                w.arrays, data["refresh_ids"], data["refresh_desc"]
+            )
+            w.arrays = map_state.scatter_keyframe(
+                w.arrays,
+                jnp.asarray(kf_slot, jnp.int32),
+                T_kf,
+                data["obs_uv"],
+                data["obs_oct"],
+                data["obs_stereo"],
+                data["key_lm"],
+                keys.desc,
+                keys.valid,
+            )
+            # host mirrors
+            key_lm_host = np.asarray(data["key_lm"])
+            w.kf_obs_lm[kf_slot] = key_lm_host
+            w.kf_poses_host[kf_slot] = np.asarray(T_kf)
         self.frame_records.append((kf_slot, np.eye(4, dtype=np.float32)))
         self.new_kf_slots.append(kf_slot)
         self.last_kf_slot = kf_slot
@@ -790,25 +993,44 @@ class StereoTracker:
             n_used = int(np.asarray(jnp.sum(data["spawn_valid"] & avail)))
             w.release_landmarks(spawn_host[n_used:])
         # refresh active set with everything this KF observes
-        self._refresh_active(key_lm_host[key_lm_host >= 0])
+        self._refresh_active(
+            key_lm_host[key_lm_host >= 0],
+            layout if layout is not None else self.active_ids,
+            ages if ages is not None else self.miss_age,
+        )
 
     def add_active(self, ids: np.ndarray):
         """Merge externally-created landmarks (e.g. local-mapper multi-view
         triangulations) into the tracked active set."""
         if len(ids):
-            self._refresh_active(np.asarray(ids, np.int64))
+            self._refresh_active(
+                np.asarray(ids, np.int64), self.active_ids, self.miss_age
+            )
+
+    def refresh_after_ba(self):
+        """Re-gather the active landmark arrays after a BA write-back
+        changed landmark positions in the world map."""
+        if self._state is not None:
+            self._state = {**self._state, "active": self._gather_active_dev()}
 
     # ------------------------------------------------------------------
     def reanchor(self, kf_slot: int, old_pose: np.ndarray, new_pose: np.ndarray):
         """Re-anchor the current tracking pose after an async BA update
         (reference changePosesLCA, src/FeatureTracker.cpp:884-908)."""
-        delta = new_pose @ np.linalg.inv(old_pose)
+        delta = (new_pose @ np.linalg.inv(old_pose)).astype(np.float32)
+        if not np.isfinite(delta).all():
+            return  # refuse a corrupt BA result rather than poison tracking
         self.pose = (delta @ self.pose).astype(np.float32)
-        self.pred_pose = (delta @ self.pred_pose).astype(np.float32)
+        self.prev_pose = (delta @ self.prev_pose).astype(np.float32)
+        self._D = delta @ self._D
+        if self._state is not None:
+            self._state = _apply_delta(self._state, jnp.asarray(delta, jnp.float32))
+        self.refresh_after_ba()
 
     def trajectory(self) -> np.ndarray:
         """(F, 4, 4) per-frame poses recomposed as closeKF.pose * relative
         (reference saveTrajectoryAndPosition, src/System.cpp:99-107)."""
+        self.flush()
         out = []
         for kf_slot, rel in self.frame_records:
             out.append(self.world.kf_poses_host[kf_slot] @ rel)
@@ -826,7 +1048,7 @@ class MonoTracker(StereoTracker):
     the test loop) then triangulates the initial map via
     LocalMapper.find_new_points(slot, mono=True) — metric scale comes from
     the IMU dead-reckoned keyframe baselines, exactly as the reference's
-    bootstrap poses do. Steady state is the shared _track_frame program
+    bootstrap poses do. Steady state is the shared _track_step program
     with mono=True (projection-only observations + CombinedImuFactor)."""
 
     BOOTSTRAP_KFS = 3  # reference src/FeatureTracker.cpp:1315
@@ -884,11 +1106,14 @@ class MonoTracker(StereoTracker):
                 self.needs_init_triangulation = True
                 self.initialized = True
                 self.last_kf_frame = self.frame_idx
+                self._state = self._fresh_state(self.pose)
+                # preserve the IMU dead-reckoned motion so the next tracked
+                # frame's constant-velocity prediction continues the arc
+                self._state["prev_pose"] = jnp.asarray(self.prev_pose)
         else:
             ref = self.world.kf_poses_host[self.last_kf_slot]
             rel = np.linalg.inv(ref) @ self.pose
             self.frame_records.append((self.last_kf_slot, rel.astype(np.float32)))
-        self.pred_pose = self.pose.copy()
         self.frame_idx += 1
         return self.pose.copy()
 
@@ -911,16 +1136,23 @@ class MonoTracker(StereoTracker):
             jnp.zeros((p.active_size,), bool),
             jnp.full((p.active_size,), -1, jnp.int32),
             spawn_dev,
+            self.world.arrays,
+            jnp.full((p.active_size,), -1, jnp.int32),
             jnp.zeros((p.active_size, 2), jnp.float32),
             jnp.zeros((p.active_size,), bool),
             self.K,
             spawn=1,
             n_levels=p.n_levels,
             scale=p.scale,
+            width=self.width,
+            height=self.height,
         )
-        self._commit_keyframe(kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host)
+        self._commit_keyframe(
+            kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host,
+            self.active_ids, self.miss_age,
+        )
 
-    def _kf_decision(self, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:
+    def _kf_decision(self, frame_idx: int, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:
         """Mono KF policy (reference 1470-1484): every-Nth frame with a low
         tracked ratio, or the tracked mono count degrading."""
         p = self.params
@@ -930,7 +1162,7 @@ class MonoTracker(StereoTracker):
         return (
             n_inl < p.kf_min_stereo
             or (
-                self.frame_idx - self.last_kf_frame >= p.kf_every
+                frame_idx - self.last_kf_frame >= p.kf_every
                 and n_inl < ratio_thr * max(self.last_kf_tracked, 1)
             )
         ) and n_inl >= p.min_inliers // 2

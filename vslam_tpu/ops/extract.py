@@ -42,6 +42,101 @@ def level_quotas(total: int, n_levels: int, scale: float) -> list[int]:
     return quotas
 
 
+def extract_batch(
+    imgs: jax.Array,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    total: int = 2048,
+    cell: int = 35,
+    edge_margin: int = 19,
+    fast_hi: float = 20.0,
+    fast_lo: float = 7.0,
+) -> Keys:
+    """Batched extraction over (B, H, W) images (e.g. a stereo pair as one
+    program). Detection runs per pyramid level (static shapes differ), but
+    description is ONE pass: blurred levels are packed into a padded
+    (B, n_levels, H, W) atlas, every keypoint's 31x31 patch is gathered in a
+    single op, and orientation + BRIEF are computed from the patches —
+    replacing 2 x n_levels separate gather/describe stages per frame. All
+    Keys fields carry a leading batch dim."""
+    B, H, W = imgs.shape
+    shapes = pyramid.level_shapes(H, W, n_levels, scale)
+    quotas = level_quotas(total, n_levels, scale)
+
+    atlas = jnp.zeros((B, n_levels, H, W), imgs.dtype)
+    cur = imgs
+    xs, resps, valids = [], [], []
+    slot_level: list[int] = []
+    slot_h: list[int] = []
+    slot_w: list[int] = []
+    for l in range(n_levels):
+        h, w = shapes[l]
+        if l > 0:
+            cur = pyramid.resize_bilinear_batch(cur, h, w)
+        blurred = pyramid.gaussian_blur_batch(cur)
+        atlas = jax.lax.dynamic_update_slice(
+            atlas, blurred[:, None], (0, l, 0, 0)
+        )
+        quota = quotas[l]
+        if quota <= 0:
+            continue
+        margin = min(edge_margin, min(h, w) // 4)
+        xy, resp, valid = jax.vmap(
+            lambda im: fast.detect(
+                im,
+                threshold_hi=fast_hi,
+                threshold_lo=fast_lo,
+                cell=min(cell, max(h, w)),
+                max_keypoints=quota,
+                edge_margin=margin,
+            )
+        )(cur)
+        xs.append(xy)
+        resps.append(resp)
+        valids.append(valid)
+        slot_level += [l] * quota
+        slot_h += [h] * quota
+        slot_w += [w] * quota
+
+    xy_lvl = jnp.concatenate(xs, axis=1)  # (B, N, 2) int32 level coords
+    resp = jnp.concatenate(resps, axis=1)
+    valid = jnp.concatenate(valids, axis=1)
+    N = xy_lvl.shape[1]
+    lvl = jnp.asarray(np.array(slot_level, np.int32))
+    hb = jnp.asarray(np.array(slot_h, np.int32))
+    wb = jnp.asarray(np.array(slot_w, np.int32))
+
+    # one patch gather for ALL keypoints of ALL levels and both images
+    P = orb.PATCH
+    half = P // 2
+    dy = jnp.arange(-half, half + 1, dtype=jnp.int32)
+    dx = jnp.arange(-half, half + 1, dtype=jnp.int32)
+    ys = jnp.clip(xy_lvl[:, :, 1, None] + dy[None, None], 0, (hb - 1)[None, :, None])
+    xs_ = jnp.clip(xy_lvl[:, :, 0, None] + dx[None, None], 0, (wb - 1)[None, :, None])
+    flat_idx = (
+        lvl[None, :, None, None] * (H * W)
+        + ys[:, :, :, None] * W
+        + xs_[:, :, None, :]
+    ).reshape(B, N * P * P)
+    patches = jnp.take_along_axis(
+        atlas.reshape(B, n_levels * H * W), flat_idx, axis=1
+    ).reshape(B, N, P, P)
+
+    angle = orb.orientation_from_patches(patches)
+    packed, signed = orb.brief_from_patches(patches, angle)
+
+    sf = jnp.asarray(np.array([scale**l for l in slot_level], np.float32))
+    return Keys(
+        xy=xy_lvl.astype(jnp.float32) * sf[None, :, None],
+        octave=jnp.broadcast_to(lvl[None], (B, N)),
+        response=resp,
+        valid=valid,
+        desc=signed,
+        packed=packed,
+        angle=angle,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -64,44 +159,18 @@ def extract(
     fast_hi: float = 20.0,
     fast_lo: float = 7.0,
 ) -> Keys:
-    levels = pyramid.build_pyramid(img, n_levels, scale)
-    quotas = level_quotas(total, n_levels, scale)
-
-    xs, octs, resps, valids, descs, packeds, angles = [], [], [], [], [], [], []
-    for l, (im_l, quota) in enumerate(zip(levels, quotas)):
-        if quota <= 0:
-            continue
-        h, w = im_l.shape
-        margin = min(edge_margin, min(h, w) // 4)
-        xy, resp, valid = fast.detect(
-            im_l,
-            threshold_hi=fast_hi,
-            threshold_lo=fast_lo,
-            cell=min(cell, max(h, w)),
-            max_keypoints=quota,
-            edge_margin=margin,
-        )
-        blurred = pyramid.gaussian_blur(im_l)
-        ang = orb.orientations(blurred, xy)
-        packed, signed = orb.brief_descriptors(blurred, xy, ang)
-        s = scale**l
-        xs.append(xy.astype(jnp.float32) * s)
-        octs.append(jnp.full((quota,), l, jnp.int32))
-        resps.append(resp)
-        valids.append(valid)
-        descs.append(signed)
-        packeds.append(packed)
-        angles.append(ang)
-
-    return Keys(
-        xy=jnp.concatenate(xs, axis=0),
-        octave=jnp.concatenate(octs, axis=0),
-        response=jnp.concatenate(resps, axis=0),
-        valid=jnp.concatenate(valids, axis=0),
-        desc=jnp.concatenate(descs, axis=0),
-        packed=jnp.concatenate(packeds, axis=0),
-        angle=jnp.concatenate(angles, axis=0),
+    """Single-image extraction (extract_batch with B=1)."""
+    keys = extract_batch(
+        img[None],
+        n_levels=n_levels,
+        scale=scale,
+        total=total,
+        cell=cell,
+        edge_margin=edge_margin,
+        fast_hi=fast_hi,
+        fast_lo=fast_lo,
     )
+    return jax.tree.map(lambda a: a[0], keys)
 
 
 def scale_factors(n_levels: int = 8, scale: float = 1.2) -> np.ndarray:

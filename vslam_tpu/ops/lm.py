@@ -86,9 +86,13 @@ def lm_solve(
         lam = jnp.where(improved, lam / lambda_factor, lam * lambda_factor)
         lam = jnp.clip(lam, 1e-10, 1e8)
         rel = jnp.abs(err - new_err) / jnp.maximum(err, 1e-12)
-        # converged on relative decrease, or stalled (lambda blown up after
-        # repeated rejected steps — no further progress possible in f32)
-        done = (improved & (rel < rel_tol)) | (lam > 1e6)
+        # converged on relative decrease — but only when damping is low: a
+        # heavily-damped step is tiny by construction, so its small relative
+        # improvement says nothing about optimality (declaring convergence
+        # there stalls the solve far from the optimum). Separately, exit
+        # when lambda blows up after repeated rejections (true stall; no
+        # further f32 progress possible).
+        done = (improved & (rel < rel_tol) & (lam < 1e-1)) | (lam > 1e6)
         err = jnp.where(improved, new_err, err)
         return (state, lam, err, it + 1, done)
 
@@ -181,18 +185,24 @@ def motion_only_ba(
     weights = jnp.sqrt(inv_sigma2)
     huber_delta = jnp.sqrt(CHI2_3DOF)  # Huber kernel at the chi2 gate
 
-    def solve(T0, mask, iters):
+    def solve(T0, mask, iters, robust):
         def residual(T):
             r = stereo_residuals(
                 T, pts_w, obs, weights, is_stereo, is_right, mask, K, baseline
             )
-            # Huber reweighting (in whitened units): bounds the influence of
-            # gross outliers on the pose, so the chi2 sweep between passes
-            # stays meaningful even with >10% corrupt matches.
+            if not robust:
+                return r.reshape(-1)
+            # Pass-1 Huber reweighting (in whitened units): bounds the
+            # influence of gross outliers so the chi2 sweep between passes
+            # stays meaningful. IRLS semantics: the weight is frozen at each
+            # linearization point (stop_gradient) — differentiating through
+            # it corrupts the Gauss-Newton curvature and stalls the solve.
             # eps-smoothed norm: d||r||/dr is NaN at r=0, and padded rows ARE
             # exactly zero — the NaN would poison the whole jacfwd Jacobian.
             n = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-18)
-            w_h = jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
+            w_h = jax.lax.stop_gradient(
+                jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
+            )
             return (r * w_h[:, None]).reshape(-1)
 
         return lm_solve(
@@ -203,7 +213,7 @@ def motion_only_ba(
             max_iters=iters,
         )
 
-    res1 = lm_solve_result = solve(T_init, valid, max_iters)
+    res1 = lm_solve_result = solve(T_init, valid, max_iters, robust=True)
     chi2_1 = reproj_chi2(
         res1.state, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
     )
@@ -211,7 +221,12 @@ def motion_only_ba(
     # guard: if the sweep kills nearly everything, keep the original set
     enough = jnp.sum(keep) >= jnp.maximum(jnp.sum(valid) // 4, 6)
     keep = jnp.where(enough, keep, valid)
-    result = solve(res1.state, keep, max_iters)
+    # pass 2 on the gated set WITHOUT the robust kernel — reference parity
+    # (GTSAM graphs at src/FeatureTracker.cpp:216-298 use plain projection
+    # factors; outliers are excluded, not reweighted). Pure least squares
+    # has a single basin near the optimum, where Huber on a noisy map can
+    # hold init-dependent local optima.
+    result = solve(res1.state, keep, max_iters, robust=False)
     T_opt = result.state
     chi2 = reproj_chi2(
         T_opt, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
@@ -270,15 +285,21 @@ def motion_only_ba_imu(
         T, v, b = state
         return (se3.retract(T, d[:6]), v + d[6:9], b + d[9:15])
 
-    def solve(state0, mask, iters):
+    def solve(state0, mask, iters, robust):
         def residual(state):
             T_wc, v_w, b = state
             r_vis = stereo_residuals(
                 T_wc, pts_w, obs, weights, is_stereo, is_right, mask, K, baseline
             )
-            n = jnp.sqrt(jnp.sum(r_vis * r_vis, axis=-1) + 1e-18)
-            w_h = jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
-            r_vis = (r_vis * w_h[:, None]).reshape(-1)
+            if robust:
+                # IRLS Huber: weight frozen per linearization (see
+                # motion_only_ba) — pass 2 runs without the kernel
+                n = jnp.sqrt(jnp.sum(r_vis * r_vis, axis=-1) + 1e-18)
+                w_h = jax.lax.stop_gradient(
+                    jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
+                )
+                r_vis = r_vis * w_h[:, None]
+            r_vis = r_vis.reshape(-1)
             T_wb = T_wc @ T_cb
             r_imu = imu_mod.combined_residual(
                 T_prev_wb, v_prev, bias_prev, T_wb, v_w, b,
@@ -298,7 +319,7 @@ def motion_only_ba_imu(
         )
 
     state0 = (T_init, v_init, bias_prev)
-    res1 = solve(state0, valid, max_iters)
+    res1 = solve(state0, valid, max_iters, robust=True)
     T1, v1, b1 = res1.state
     chi2_1 = reproj_chi2(
         T1, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
@@ -306,7 +327,7 @@ def motion_only_ba_imu(
     keep = valid & (chi2_1 < CHI2_3DOF)
     enough = jnp.sum(keep) >= jnp.maximum(jnp.sum(valid) // 4, 6)
     keep = jnp.where(enough, keep, valid)
-    result = solve(res1.state, keep, max_iters)
+    result = solve(res1.state, keep, max_iters, robust=False)
     T_opt, v_opt, b_opt = result.state
     chi2 = reproj_chi2(
         T_opt, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline

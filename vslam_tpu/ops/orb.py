@@ -90,6 +90,54 @@ def orientations(img: jax.Array, xy: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
+def orientation_from_patches(patches: jax.Array) -> jax.Array:
+    """Intensity-centroid angle from pre-gathered (..., 31, 31) patches
+    (same math as :func:`orientations`, one batched reduction)."""
+    mask, dx, dy = _centroid_masks()
+    m10 = jnp.sum(patches * (mask * dx), axis=(-2, -1))
+    m01 = jnp.sum(patches * (mask * dy), axis=(-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_from_patches(
+    patches: jax.Array, angle: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Rotated BRIEF sampled INSIDE pre-gathered 31x31 patches.
+
+    The pattern extent is <= 13 px (see :func:`brief_pattern`), so every
+    rotated offset stays within the patch — one cheap in-patch
+    take_along_axis replaces the per-level image gathers. Identical bits to
+    :func:`brief_descriptors` for interior keypoints.
+
+    patches: (..., N, 31, 31); angle: (..., N). Returns (packed (..., N, 8)
+    uint32, signed (..., N, 256) int8).
+    """
+    pat = jnp.asarray(brief_pattern(), jnp.float32)  # (256, 4)
+    ca = jnp.cos(angle)[..., None]
+    sa = jnp.sin(angle)[..., None]
+    x1, y1, x2, y2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
+
+    def rot(px, py):
+        rx = jnp.round(px * ca - py * sa).astype(jnp.int32)
+        ry = jnp.round(px * sa + py * ca).astype(jnp.int32)
+        return rx, ry  # (..., N, 256)
+
+    r1x, r1y = rot(x1, y1)
+    r2x, r2y = rot(x2, y2)
+    flat = patches.reshape(*patches.shape[:-2], PATCH * PATCH)
+    idx1 = jnp.clip(r1y + HALF, 0, PATCH - 1) * PATCH + jnp.clip(r1x + HALF, 0, PATCH - 1)
+    idx2 = jnp.clip(r2y + HALF, 0, PATCH - 1) * PATCH + jnp.clip(r2x + HALF, 0, PATCH - 1)
+    i1 = jnp.take_along_axis(flat, idx1, axis=-1)
+    i2 = jnp.take_along_axis(flat, idx2, axis=-1)
+    bits = (i1 < i2).astype(jnp.uint32)  # (..., N, 256)
+
+    words = bits.reshape(*bits.shape[:-1], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    packed = jnp.sum(words << shifts, axis=-1, dtype=jnp.uint32)
+    signed = (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+    return packed, signed
+
+
 def brief_descriptors(
     blurred: jax.Array, xy: jax.Array, angle: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

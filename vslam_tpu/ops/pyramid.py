@@ -31,7 +31,12 @@ def level_shapes(height: int, width: int, n_levels: int, scale: float):
 
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Bilinear resize with half-pixel centers (cv::resize INTER_LINEAR)."""
-    H, W = img.shape
+    return resize_bilinear_batch(img[None], out_h, out_w)[0]
+
+
+def resize_bilinear_batch(imgs: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """(B, H, W) -> (B, out_h, out_w) bilinear with half-pixel centers."""
+    _, H, W = imgs.shape
     sy = H / out_h
     sx = W / out_w
     ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
@@ -44,13 +49,15 @@ def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     x0i = x0.astype(jnp.int32)
     y1i = jnp.minimum(y0i + 1, H - 1)
     x1i = jnp.minimum(x0i + 1, W - 1)
-    a = img[y0i][:, x0i]
-    b = img[y0i][:, x1i]
-    c = img[y1i][:, x0i]
-    d = img[y1i][:, x1i]
-    top = a * (1 - wx)[None, :] + b * wx[None, :]
-    bot = c * (1 - wx)[None, :] + d * wx[None, :]
-    return top * (1 - wy)[:, None] + bot * wy[:, None]
+    r0 = jnp.take(imgs, y0i, axis=1)
+    r1 = jnp.take(imgs, y1i, axis=1)
+    a = jnp.take(r0, x0i, axis=2)
+    b = jnp.take(r0, x1i, axis=2)
+    c = jnp.take(r1, x0i, axis=2)
+    d = jnp.take(r1, x1i, axis=2)
+    top = a * (1 - wx)[None, None, :] + b * wx[None, None, :]
+    bot = c * (1 - wx)[None, None, :] + d * wx[None, None, :]
+    return top * (1 - wy)[None, :, None] + bot * wy[None, :, None]
 
 
 def build_pyramid(
@@ -79,16 +86,21 @@ def _gaussian_kernel_1d(ksize: int, sigma: float) -> tuple:
 def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
     """Separable Gaussian with reflect-101 borders (cv::GaussianBlur
     BORDER_REFLECT_101 semantics, used before BRIEF sampling)."""
+    return gaussian_blur_batch(img[None], ksize, sigma)[0]
+
+
+def gaussian_blur_batch(imgs: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
+    """(B, H, W) separable Gaussian, reflect-101 borders."""
     k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
     half = ksize // 2
-    # reflect-101 padding: edge pixel not repeated
-    padded = jnp.pad(img, ((half, half), (half, half)), mode="reflect")
-    # horizontal then vertical 1-D convs via dot with shifted slices
-    H, W = img.shape
-    rows = jnp.zeros((H + 2 * half, W), img.dtype)
+    B, H, W = imgs.shape
+    padded = jnp.pad(imgs, ((0, 0), (half, half), (half, half)), mode="reflect")
+    rows = jnp.zeros((B, H + 2 * half, W), imgs.dtype)
     for i in range(ksize):
-        rows = rows + k[i] * jax.lax.dynamic_slice(padded, (0, i), (H + 2 * half, W))
-    out = jnp.zeros((H, W), img.dtype)
+        rows = rows + k[i] * jax.lax.dynamic_slice(
+            padded, (0, 0, i), (B, H + 2 * half, W)
+        )
+    out = jnp.zeros((B, H, W), imgs.dtype)
     for i in range(ksize):
-        out = out + k[i] * jax.lax.dynamic_slice(rows, (i, 0), (H, W))
+        out = out + k[i] * jax.lax.dynamic_slice(rows, (0, i, 0), (B, H, W))
     return out

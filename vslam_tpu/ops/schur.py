@@ -221,12 +221,14 @@ def local_ba(p: BAProblem, iters: int = 5, lambda0: float = 1e-4):
         new_pts = p.pts + dl
         p_new = p._replace(poses=new_poses, pts=new_pts)
         new_err = ba_error(p_new)
-        improved = new_err < err
+        # NaN-safe accept/reject: a non-finite trial (degenerate Schur solve)
+        # is rejected and must not poison the running error
+        improved = new_err < err  # False when new_err is NaN
         p = jax.tree.map(lambda a, b: jnp.where(improved, b, a), p, p_new)
         lam = jnp.clip(
             jnp.where(improved, lam * 0.1, lam * 10.0), 1e-9, 1e6
         )
-        err = jnp.minimum(err, new_err)
+        err = jnp.where(improved, new_err, err)
         return (p, lam, err)
 
     p, lam, err = jax.lax.fori_loop(

@@ -26,6 +26,8 @@ FORMAT_VERSION = 1
 def save_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> None:
     """Write the map SoA (+ optional tracker runtime state) to `path`
     (.npz). Atomic: writes to a temp file then renames."""
+    if tracker is not None:
+        tracker.flush()  # drain the dispatch pipeline BEFORE snapshotting
     m = world.arrays
     blobs = {
         f"map.{f.name}": np.asarray(getattr(m, f.name))
@@ -52,7 +54,6 @@ def save_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> None:
             {
                 "trk.pose": tracker.pose,
                 "trk.prev_pose": tracker.prev_pose,
-                "trk.pred_pose": tracker.pred_pose,
                 "trk.active_ids": tracker.active_ids,
                 "trk.miss_age": tracker.miss_age,
                 "trk.velocity": tracker.velocity,
@@ -106,7 +107,6 @@ def load_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> dict:
     if tracker is not None and "trk.pose" in data:
         tracker.pose = data["trk.pose"].copy()
         tracker.prev_pose = data["trk.prev_pose"].copy()
-        tracker.pred_pose = data["trk.pred_pose"].copy()
         tracker.active_ids = data["trk.active_ids"].copy()
         tracker.miss_age = data["trk.miss_age"].copy()
         tracker.velocity = data["trk.velocity"].copy()
@@ -119,4 +119,9 @@ def load_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> dict:
         tracker.frame_records = [
             (int(s), np.asarray(rel, np.float32)) for s, rel in meta["frame_records"]
         ]
+        # rebuild the device-resident state for the next dispatch
+        tracker._D = np.eye(4, dtype=np.float32)
+        tracker._pending.clear()
+        tracker._state = tracker._fresh_state(tracker.pose)
+        tracker._state["prev_pose"] = jnp.asarray(tracker.prev_pose)
     return meta
