@@ -61,6 +61,7 @@ def main():
             trk.add_active(r["new_lm_ids"])
 
     LR_np = np.stack(frames[8])
+    LR = jnp.asarray(LR_np).astype(jnp.float32)
     print(f"upload   : {timeit(lambda: jax.block_until_ready(jnp.asarray(LR_np))):8.2f} ms")
     p = trk.params
 

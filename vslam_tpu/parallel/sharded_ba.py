@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from vslam_tpu.geometry import se3
 from vslam_tpu.ops import schur
@@ -43,21 +46,22 @@ def partition_obs(
 
     Returns (perm (n_shards, O_per) indices into the original obs arrays,
     local_lm (n_shards, O_per) per-shard-local landmark rows, valid mask).
-    n_landmarks must be divisible by n_shards.
+    n_landmarks must be divisible by n_shards. O_per is the largest
+    per-shard count (rounded up to a multiple of 8 for tiling), so no
+    observation is ever dropped — uneven shards are padded, not truncated.
     """
     O = len(obs_lm)
     per_shard_lm = n_landmarks // n_shards
     shard_of = np.clip(obs_lm, 0, n_landmarks - 1) // per_shard_lm
     if obs_valid is None:
         obs_valid = np.ones(O, bool)
-    o_per = int(np.ceil(O / n_shards))
+    counts = np.bincount(shard_of[obs_valid], minlength=n_shards)
+    o_per = max(8, int(-(-int(counts.max()) // 8) * 8))
     perm = np.zeros((n_shards, o_per), np.int32)
     local = np.zeros((n_shards, o_per), np.int32)
     valid = np.zeros((n_shards, o_per), bool)
     for s in range(n_shards):
         idx = np.nonzero((shard_of == s) & obs_valid)[0]
-        if len(idx) > o_per:
-            idx = idx[:o_per]
         perm[s, : len(idx)] = idx
         local[s, : len(idx)] = obs_lm[idx] - s * per_shard_lm
         valid[s, : len(idx)] = True
@@ -96,7 +100,6 @@ def sharded_ba_iteration(mesh: Mesh):
             P(),                     # lambda
         ),
         out_specs=(P(), P("lm"), P()),
-        check_rep=False,
     )
     def step(poses, fixed, pose_valid, pts, pt_valid,
              obs_kf, obs_lm_local, obs_uv, obs_stereo, obs_w, obs_valid,
