@@ -96,7 +96,16 @@ def main():
 
     warmup = 12
     for f in range(warmup):
-        step(f)
+        n_kf = len(trk.new_kf_slots)
+        trk.track(*frames[f])
+        # warmup runs the mapper SYNCHRONOUSLY so its programs compile
+        # before the timed section (first-call compiles are tens of
+        # seconds on TPU and would otherwise stall the BA thread for the
+        # entire bench, starving the tracker of triangulated landmarks)
+        if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
+            r = mapper.run(trk.new_kf_slots[-1])
+            trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+            trk.add_active(r["new_lm_ids"])
 
     t0 = time.perf_counter()
     for f in range(warmup, n_frames):

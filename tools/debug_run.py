@@ -18,7 +18,7 @@ def main():
     from vslam_tpu.models import local_mapper, map_state, tracker
     from vslam_tpu.utils import synthetic, trajectory
 
-    n_frames = 40
+    n_frames = int(os.environ.get("N_FRAMES", 40))
     scene = synthetic.make_scene(
         n_frames=n_frames, n_points=900, width=752, height=480, fps=20.0, seed=3
     )

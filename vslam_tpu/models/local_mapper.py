@@ -194,6 +194,15 @@ def _triangulate_new_points(
         "slot_of_cand": slot_of_cand,  # (Kk,) landmark slot per newest-KF key or -1
         "key_views": key_views,  # (V-1, Kk) matched key idx per older view
         "n_new": jnp.sum(take_ok),
+        # single packed fetch for the host (one device->host round trip
+        # instead of three): [slot_of_cand | key_views | n_new]
+        "host_blob": jnp.concatenate(
+            [
+                slot_of_cand.astype(jnp.float32),
+                key_views.astype(jnp.float32).reshape(-1),
+                jnp.sum(take_ok).astype(jnp.float32)[None],
+            ]
+        ),
     }
 
 
@@ -337,6 +346,13 @@ def _triangulate_new_points_mono(
         "slot_of_cand": slot_of_cand,
         "key_views": key_views,
         "n_new": jnp.sum(take_ok),
+        "host_blob": jnp.concatenate(
+            [
+                slot_of_cand.astype(jnp.float32),
+                key_views.astype(jnp.float32).reshape(-1),
+                jnp.sum(take_ok).astype(jnp.float32)[None],
+            ]
+        ),
     }
 
 
@@ -442,6 +458,7 @@ class LocalMapper:
                 n_levels=cfg.n_levels,
                 scale=cfg.scale,
             )
+        r["host_blob"].copy_to_host_async()  # overlap the fetch with scatters
         with w.update_lock:
             w.arrays = map_state.scatter_landmarks(
                 w.arrays,
@@ -455,9 +472,13 @@ class LocalMapper:
             w.arrays = _apply_triangulation(
                 w.arrays, slots_dev, r["slot_of_cand"], r["key_views"]
             )
-            # host mirrors (slot_of_cand / key_views are small transfers)
-            soc = np.asarray(r["slot_of_cand"])
-            kv = np.asarray(r["key_views"])
+            # host mirrors: ONE packed device->host fetch (each separate
+            # np.asarray pays a full tunnel round trip)
+            Kk = w.keys_per_kf
+            blob = np.asarray(r["host_blob"])
+            soc = blob[:Kk].astype(np.int64)
+            kv = blob[Kk : Kk + (WINDOW - 1) * Kk].reshape(WINDOW - 1, Kk).astype(np.int64)
+            n_new = int(blob[-1])
             has = soc >= 0
             w.kf_obs_lm[kf_slot][has] = soc[has]
             for v in range(WINDOW - 1):
@@ -465,7 +486,6 @@ class LocalMapper:
                     okv = (kv[v] >= 0) & has
                     w.kf_obs_lm[slots[v]][kv[v][okv]] = soc[okv]
         # unused tail of the spawn budget goes back to the allocator
-        n_new = int(r["n_new"])
         w.release_landmarks(spawn[n_new:])
         return spawn[:n_new]
 
@@ -570,21 +590,28 @@ class LocalMapper:
 
         old_last_pose = w.kf_poses_host[kf_slot].copy()
 
-        # round 1 -> chi2 sweep -> round 2 (reference 543-873)
-        p1, _, _ = schur.local_ba(p, iters=cfg.iters_round1)
-        chi2 = schur.obs_chi2(p1)
-        keep = p1.obs_valid & (chi2 < schur.CHI2_THR)
-        p1 = p1._replace(obs_valid=keep)
-        p2, err, _ = schur.local_ba(p1, iters=cfg.iters_round2)
-        chi2_final = schur.obs_chi2(p2)
-        kill = p2.obs_valid & (chi2_final >= schur.CHI2_THR)
+        # round 1 -> chi2 sweep -> round 2 -> final kill mask, ONE device
+        # program (reference 543-873; fused to avoid per-stage dispatch RTTs)
+        p2, err, kill = schur.local_ba_two_rounds(
+            p, iters1=cfg.iters_round1, iters2=cfg.iters_round2
+        )
+        host_pack = jnp.concatenate(
+            [
+                p2.poses.reshape(-1),
+                kill.astype(jnp.float32),
+                err[None].astype(jnp.float32),
+            ]
+        )
+        host_pack.copy_to_host_async()  # overlap with the writeback dispatch
 
         # ---- write back (snapshot scatter; reference 875-938) ----
+        # the kill-observation coordinates are pure host data (window slot x
+        # key index in assembly order) — no device fetch needed for them
         K_keys = w.keys_per_kf
-        obs_kill_kf = jnp.asarray(kf_slots, jnp.int32)[p2.obs_kf]
-        obs_kill_key = jnp.asarray(
-            np.tile(np.arange(K_keys, dtype=np.int32), WINDOW)
-        )
+        obs_kill_kf_host = kf_slots[np.repeat(np.arange(WINDOW), K_keys)]
+        obs_kill_key_host = np.tile(np.arange(K_keys, dtype=np.int32), WINDOW)
+        obs_kill_kf = jnp.asarray(obs_kill_kf_host, jnp.int32)
+        obs_kill_key = jnp.asarray(obs_kill_key_host)
         with w.update_lock:
             w.arrays = map_state.writeback_ba(
                 w.arrays,
@@ -598,15 +625,17 @@ class LocalMapper:
                 obs_kill_key,
                 kill,
             )
-            # host mirrors
-            new_poses = np.asarray(p2.poses)
+            # host mirrors: ONE packed fetch [poses | kill | err]
+            blob = np.asarray(host_pack)
+            new_poses = blob[: WINDOW * 16].reshape(WINDOW, 4, 4)
+            kill_host = blob[WINDOW * 16 : WINDOW * 16 + WINDOW * K_keys] > 0.5
+            err = float(blob[-1])
             for i, (slot, v) in enumerate(zip(kf_slots, kf_valid)):
                 if v:
                     w.kf_poses_host[slot] = new_poses[i]
-            kill_host = np.asarray(kill)
             if kill_host.any():
-                kkf = np.asarray(obs_kill_kf)[kill_host]
-                kkey = np.asarray(obs_kill_key)[kill_host]
+                kkf = obs_kill_kf_host[kill_host]
+                kkey = obs_kill_key_host[kill_host]
                 w.kf_obs_lm[kkf, kkey] = -1
             self.ba_count += 1
 

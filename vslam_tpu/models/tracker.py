@@ -419,6 +419,7 @@ def _prepare_keyframe(
     inliers,  # (A,)
     active_ids,  # (A,) global landmark slots (layout match_idx refers to)
     spawn_slots,  # (spawn,) preallocated global slots
+    spawn_avail,  # (spawn,) bool — slots actually granted by the allocator
     m: map_state.MapArrays,  # current world snapshot (for spawn suppression)
     sup_ids,  # (A,) CURRENT active landmark ids incl. the last KF's spawns
     lm_pred,  # (A, 2) the tracked frame's own predicted landmark pixels
@@ -486,7 +487,7 @@ def _prepare_keyframe(
     cand = keys.valid & st_close & (key_lm < 0) & ~near_existing & (st_depth > 0)
     order = jnp.argsort(jnp.where(cand, st_depth, jnp.inf))
     take = order[:spawn]
-    take_valid = cand[take]
+    take_valid = cand[take] & spawn_avail
     # cap to the reference's per-KF budget by rank
     rank = jnp.cumsum(take_valid.astype(jnp.int32)) - 1
     take_valid = take_valid & (rank < spawn)
@@ -530,6 +531,15 @@ def _prepare_keyframe(
         "spawn_mindist": mindist,
         "spawn_valid": take_valid,
         "n_close": jnp.sum(st_close & keys.valid),
+        # single packed host fetch: [key_lm (N) | n_spawned (1)] — separate
+        # np.asarray calls each pay a full device round trip on a remote
+        # tunnel, so everything the host needs travels in one blob
+        "host_blob": jnp.concatenate(
+            [
+                key_lm.astype(jnp.float32),
+                jnp.sum(take_valid).astype(jnp.float32)[None],
+            ]
+        ),
     }
 
 
@@ -797,6 +807,11 @@ class StereoTracker:
             mono=self._mono,
             has_imu=self.imu_cfg is not None,
         )
+        # start the result blob's device->host copy immediately: by the time
+        # _process pops this frame (one frame later under the depth-1
+        # pipeline) the bytes have already crossed the tunnel, so the
+        # blocking fetch costs ~0 instead of a full round trip
+        outputs["blob"].copy_to_host_async()
         self._pending.append(
             (self.frame_idx, outputs, self.active_ids.copy(), self._D.copy())
         )
@@ -886,6 +901,7 @@ class StereoTracker:
             jnp.zeros((p.active_size,), bool),
             jnp.full((p.active_size,), -1, jnp.int32),
             spawn_dev,
+            avail,
             self.world.arrays,
             jnp.full((p.active_size,), -1, jnp.int32),
             jnp.zeros((p.active_size, 2), jnp.float32),
@@ -897,11 +913,11 @@ class StereoTracker:
             width=self.width,
             height=self.height,
         )
-        self._commit_keyframe(
+        n_used = self._commit_keyframe(
             kf_slot, jnp.asarray(self.pose), keys, data, spawn_dev, avail,
-            spawn_host, self.active_ids, self.miss_age,
+            spawn_host, self.active_ids, self.miss_age, T_kf_host=self.pose,
         )
-        self.last_kf_tracked = int(np.asarray(jnp.sum(data["spawn_valid"])))
+        self.last_kf_tracked = n_used
         self.last_kf_frame = 0
 
     def _insert_keyframe(self, frame_idx: int, pose: np.ndarray, outputs: dict, layout: np.ndarray, ages: np.ndarray):
@@ -924,6 +940,7 @@ class StereoTracker:
             outputs["inliers"],
             jnp.asarray(layout, jnp.int32),
             spawn_dev,
+            avail,
             self.world.arrays,
             jnp.asarray(self.active_ids, jnp.int32),
             outputs["lm_pred"],
@@ -937,7 +954,7 @@ class StereoTracker:
         )
         self._commit_keyframe(
             kf_slot, T_kf_dev, keys, data, spawn_dev, avail, spawn_host,
-            layout, ages,
+            layout, ages, T_kf_host=pose,
         )
 
     def _alloc_spawn(self, count: int):
@@ -954,8 +971,13 @@ class StereoTracker:
     def _commit_keyframe(
         self, kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host=None,
         layout: np.ndarray | None = None, ages: np.ndarray | None = None,
-    ):
+        T_kf_host: np.ndarray | None = None,
+    ) -> int:
         w = self.world
+        # start the device->host copy of the packed blob NOW, so the
+        # blocking np.asarray below finds the bytes already landed instead
+        # of paying a fresh tunnel round trip
+        data["host_blob"].copy_to_host_async()
         with w.update_lock:
             w.arrays = map_state.scatter_landmarks(
                 w.arrays,
@@ -964,7 +986,7 @@ class StereoTracker:
                 data["spawn_desc"],
                 data["spawn_maxdist"],
                 data["spawn_mindist"],
-                data["spawn_valid"] & avail,
+                data["spawn_valid"],
             )
             w.arrays = map_state.refresh_descriptors(
                 w.arrays, data["refresh_ids"], data["refresh_desc"]
@@ -980,17 +1002,20 @@ class StereoTracker:
                 keys.desc,
                 keys.valid,
             )
-            # host mirrors
-            key_lm_host = np.asarray(data["key_lm"])
+            # host mirrors: ONE packed fetch [key_lm | n_spawned]
+            blob = np.asarray(data["host_blob"])
+            key_lm_host = blob[:-1].astype(np.int64)
+            n_used = int(blob[-1])
             w.kf_obs_lm[kf_slot] = key_lm_host
-            w.kf_poses_host[kf_slot] = np.asarray(T_kf)
+            w.kf_poses_host[kf_slot] = np.asarray(
+                T_kf_host if T_kf_host is not None else T_kf, np.float32
+            )
         self.frame_records.append((kf_slot, np.eye(4, dtype=np.float32)))
         self.new_kf_slots.append(kf_slot)
         self.last_kf_slot = kf_slot
         # return the unused tail of the spawn budget to the allocator (the
         # valid spawns are a depth-sorted prefix, so the tail is contiguous)
         if spawn_host is not None:
-            n_used = int(np.asarray(jnp.sum(data["spawn_valid"] & avail)))
             w.release_landmarks(spawn_host[n_used:])
         # refresh active set with everything this KF observes
         self._refresh_active(
@@ -998,6 +1023,7 @@ class StereoTracker:
             layout if layout is not None else self.active_ids,
             ages if ages is not None else self.miss_age,
         )
+        return n_used
 
     def add_active(self, ids: np.ndarray):
         """Merge externally-created landmarks (e.g. local-mapper multi-view
@@ -1136,6 +1162,7 @@ class MonoTracker(StereoTracker):
             jnp.zeros((p.active_size,), bool),
             jnp.full((p.active_size,), -1, jnp.int32),
             spawn_dev,
+            avail,
             self.world.arrays,
             jnp.full((p.active_size,), -1, jnp.int32),
             jnp.zeros((p.active_size, 2), jnp.float32),
@@ -1149,7 +1176,7 @@ class MonoTracker(StereoTracker):
         )
         self._commit_keyframe(
             kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host,
-            self.active_ids, self.miss_age,
+            self.active_ids, self.miss_age, T_kf_host=self.pose,
         )
 
     def _kf_decision(self, frame_idx: int, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:

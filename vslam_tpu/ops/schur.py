@@ -237,6 +237,22 @@ def local_ba(p: BAProblem, iters: int = 5, lambda0: float = 1e-4):
     return p, err, lam
 
 
+@functools.partial(jax.jit, static_argnames=("iters1", "iters2"))
+def local_ba_two_rounds(p: BAProblem, iters1: int = 5, iters2: int = 10):
+    """The reference's full 2-round schedule as ONE device program: round 1
+    LM -> chi-squared outlier sweep -> round 2 LM -> final chi-squared kill
+    mask (reference src/OptimizationBA.cpp:543-873). Fusing the rounds
+    removes 3 of the 4 host->device dispatches per local-BA run — on a
+    remote-tunnel TPU each dispatch costs a ~27 ms round trip, which
+    dominated the BA latency."""
+    p1, _, _ = local_ba(p, iters=iters1)
+    keep = p1.obs_valid & (obs_chi2(p1) < CHI2_THR)
+    p1 = p1._replace(obs_valid=keep)
+    p2, err, _ = local_ba(p1, iters=iters2)
+    kill = p2.obs_valid & (obs_chi2(p2) >= CHI2_THR)
+    return p2, err, kill
+
+
 @jax.jit
 def obs_chi2(p: BAProblem) -> jax.Array:
     """Per-observation chi^2 (unwhitened pixel errors x information), for
