@@ -410,6 +410,16 @@ class LocalMapper:
         (reference LocalMapper::findNewPoints, src/OptimizationBA.cpp:340-391;
         mono: addMappointsMono, src/FeatureTracker.cpp:1497-1684) and insert
         them into the map. Returns the new landmark slots."""
+        pend = self._dispatch_triangulation(kf_slot, mono=mono)
+        if pend is None:
+            return np.zeros(0, np.int64)
+        return self._finish_triangulation(pend)
+
+    def _dispatch_triangulation(self, kf_slot: int, mono: bool = False):
+        """Dispatch the triangulation + map scatters (device-side state is
+        fully updated once these execute) WITHOUT blocking on any fetch.
+        Returns a pending handle for :meth:`_finish_triangulation`, or None
+        if there is no window to triangulate against."""
         w = self.world
         cfg = self.cfg
         covis = w.covisible_kfs(kf_slot, cfg.max_covisible, cfg.min_covis_weight)
@@ -420,7 +430,7 @@ class LocalMapper:
             # landmarks) — use the most recent preceding KFs instead
             older = np.arange(max(0, kf_slot - (WINDOW - 1)), kf_slot, dtype=np.int64)
         if len(older) == 0:
-            return np.zeros(0, np.int64)
+            return None
         pad = WINDOW - 1 - len(older)
         slots = np.concatenate([np.zeros(pad, np.int64), older, [kf_slot]])
         valid = np.concatenate([np.zeros(pad, bool), np.ones(len(older) + 1, bool)])
@@ -472,14 +482,29 @@ class LocalMapper:
             w.arrays = _apply_triangulation(
                 w.arrays, slots_dev, r["slot_of_cand"], r["key_views"]
             )
-            # host mirrors: ONE packed device->host fetch (each separate
-            # np.asarray pays a full tunnel round trip)
-            Kk = w.keys_per_kf
-            blob = np.asarray(r["host_blob"])
-            soc = blob[:Kk].astype(np.int64)
-            kv = blob[Kk : Kk + (WINDOW - 1) * Kk].reshape(WINDOW - 1, Kk).astype(np.int64)
-            n_new = int(blob[-1])
-            has = soc >= 0
+        return {
+            "kf_slot": kf_slot,
+            "blob": r["host_blob"],
+            "spawn": spawn,
+            "slots": slots,
+            "valid": valid,
+        }
+
+    def _finish_triangulation(self, pend: dict) -> np.ndarray:
+        """Consume the triangulation blob (ONE packed device->host fetch —
+        each separate np.asarray pays a full tunnel round trip) to update the
+        host observation mirrors and the landmark allocator. Returns the new
+        landmark slots."""
+        w = self.world
+        kf_slot, spawn = pend["kf_slot"], pend["spawn"]
+        slots, valid = pend["slots"], pend["valid"]
+        Kk = w.keys_per_kf
+        blob = np.asarray(pend["blob"])
+        soc = blob[:Kk].astype(np.int64)
+        kv = blob[Kk : Kk + (WINDOW - 1) * Kk].reshape(WINDOW - 1, Kk).astype(np.int64)
+        n_new = int(blob[-1])
+        has = soc >= 0
+        with w.update_lock:
             w.kf_obs_lm[kf_slot][has] = soc[has]
             for v in range(WINDOW - 1):
                 if valid[v]:
@@ -490,9 +515,17 @@ class LocalMapper:
         return spawn[:n_new]
 
     # ------------------------------------------------------------------
-    def _assemble(self, kf_slot: int):
+    def _assemble(self, kf_slot: int, extra_ids: np.ndarray | None = None):
         """Build a fixed-shape BAProblem for the covisibility window of
-        `kf_slot`. Returns (problem, window_slots, local_lm_ids)."""
+        `kf_slot`.
+
+        The observation->landmark mapping is computed ON DEVICE from
+        m.obs_lm (device searchsorted over the sorted candidate id list), so
+        a just-dispatched triangulation is visible to the BA problem without
+        the host ever fetching its results — `extra_ids` carries the
+        speculatively-allocated spawn slots (unused ones have lm_valid False
+        on device and drop out via pt_valid). Returns
+        (problem, kf_slots, kf_valid, lm_slots_dev)."""
         w = self.world
         cfg = self.cfg
         covis = w.covisible_kfs(kf_slot, cfg.max_covisible, cfg.min_covis_weight)
@@ -512,36 +545,43 @@ class LocalMapper:
         if len(window) < 2:
             fixed[: len(window)] = True
 
-        # landmarks observed by the window (host mirror)
+        # candidate landmarks: window observations (host mirror, may lag an
+        # in-flight triangulation) + the speculative spawn slots
         obs_tbl = w.kf_obs_lm[window]  # (wn, K)
-        ids = np.unique(obs_tbl[obs_tbl >= 0])
+        base = obs_tbl[obs_tbl >= 0]
+        if extra_ids is not None and len(extra_ids):
+            base = np.concatenate([base, np.asarray(extra_ids, np.int64)])
+        ids = np.unique(base)
         ids = ids[:LM_SLOTS]
-        pad_l = LM_SLOTS - len(ids)
-        lm_ids = np.concatenate([ids, np.zeros(pad_l, np.int64)])
-        lm_valid = np.concatenate([np.ones(len(ids), bool), np.zeros(pad_l, bool)])
-
-        # observation table -> local indices
-        K_keys = w.keys_per_kf
-        obs_kf = np.repeat(np.arange(Wb, dtype=np.int32), K_keys)
-        flat = np.concatenate(
-            [obs_tbl, np.full((pad_w, K_keys), -1, np.int64)]
-        ).reshape(-1)
-        if len(ids):
-            local = np.searchsorted(ids, flat.clip(0))
-            local = np.clip(local, 0, len(ids) - 1)
-            hit = (flat >= 0) & (ids[local] == flat.clip(0))
-        else:
-            local = np.zeros_like(flat)
-            hit = np.zeros(flat.shape, bool)
-        obs_lm = np.where(hit, local, 0).astype(np.int32)
-        obs_valid = hit
+        n_ids = len(ids)
+        sentinel = w.lm_capacity  # > any slot: keeps the padded list sorted
+        lm_ids = np.concatenate(
+            [ids, np.full(LM_SLOTS - n_ids, sentinel, np.int64)]
+        )
+        lm_pad_valid = np.arange(LM_SLOTS) < n_ids
 
         m = w.arrays
+        K_keys = w.keys_per_kf
         kf_slots_dev = jnp.asarray(kf_slots, jnp.int32)
         lm_ids_dev = jnp.asarray(lm_ids, jnp.int32)
+        lm_safe = jnp.clip(lm_ids_dev, 0, w.lm_capacity - 1)
 
         poses = m.kf_pose[kf_slots_dev]
-        pts = m.lm_pos[lm_ids_dev]
+        pts = m.lm_pos[lm_safe]
+        pt_valid = jnp.asarray(lm_pad_valid) & m.lm_valid[lm_safe]
+
+        # observation table -> local indices, on device (sees in-flight
+        # triangulation updates the host mirror does not have yet)
+        obs_kf = np.repeat(np.arange(Wb, dtype=np.int32), K_keys)
+        flat = m.obs_lm[kf_slots_dev].reshape(-1)
+        row_ok = jnp.asarray(np.repeat(kf_valid, K_keys))
+        local = jnp.clip(
+            jnp.searchsorted(lm_ids_dev, jnp.maximum(flat, 0)), 0, LM_SLOTS - 1
+        )
+        hit = (flat >= 0) & (lm_ids_dev[local] == flat) & row_ok
+        obs_lm = jnp.where(hit, local, 0).astype(jnp.int32)
+        obs_valid = hit
+
         obs_uv = m.obs_uv[kf_slots_dev].reshape(-1, 3)
         obs_oct = m.obs_oct[kf_slots_dev].reshape(-1)
         obs_stereo = m.obs_stereo[kf_slots_dev].reshape(-1)
@@ -562,19 +602,19 @@ class LocalMapper:
             fixed=jnp.asarray(fixed),
             pose_valid=jnp.asarray(kf_valid),
             pts=pts,
-            pt_valid=jnp.asarray(lm_valid),
+            pt_valid=pt_valid,
             obs_kf=jnp.asarray(obs_kf),
-            obs_lm=jnp.asarray(obs_lm),
+            obs_lm=obs_lm,
             obs_uv=obs_uv,
             obs_stereo=obs_stereo,
             obs_w=obs_w,
-            obs_valid=jnp.asarray(obs_valid),
+            obs_valid=obs_valid,
             K=self.K,
             baseline=self.baseline,
             odo_rel=jnp.asarray(odo_rel),
             odo_valid=jnp.asarray(odo_valid),
         )
-        return p, kf_slots, kf_valid, lm_ids, lm_valid
+        return p, kf_slots, kf_valid, lm_safe
 
     # ------------------------------------------------------------------
     def run(self, kf_slot: int, mono: bool = False) -> dict:
@@ -585,8 +625,15 @@ class LocalMapper:
         whose mono mode has no LocalMapper at all (src/System.cpp:11-20)."""
         w = self.world
         cfg = self.cfg
-        new_lm_ids = self.find_new_points(kf_slot, mono=mono)
-        p, kf_slots, kf_valid, lm_ids, lm_valid = self._assemble(kf_slot)
+        # triangulation is DISPATCHED but not fetched: _assemble sees its
+        # device-side effects (obs mapping + spawn positions) directly, so
+        # the BA program is enqueued back-to-back with the triangulation —
+        # zero host round trips between them
+        pend = self._dispatch_triangulation(kf_slot, mono=mono)
+        extra = pend["spawn"] if pend is not None else None
+        p, kf_slots, kf_valid, lm_slots_dev = self._assemble(
+            kf_slot, extra_ids=extra
+        )
 
         old_last_pose = w.kf_poses_host[kf_slot].copy()
 
@@ -618,12 +665,20 @@ class LocalMapper:
                 jnp.asarray(kf_slots, jnp.int32),
                 jnp.asarray(kf_valid),
                 p2.poses,
-                jnp.asarray(lm_ids, jnp.int32),
-                jnp.asarray(lm_valid),
+                lm_slots_dev,
+                p.pt_valid,
                 p2.pts,
                 obs_kill_kf,
                 obs_kill_key,
                 kill,
+            )
+            # consume the triangulation blob first (its copy started before
+            # the BA was dispatched, so it has long since landed); this also
+            # updates the host observation mirrors and the allocator
+            new_lm_ids = (
+                self._finish_triangulation(pend)
+                if pend is not None
+                else np.zeros(0, np.int64)
             )
             # host mirrors: ONE packed fetch [poses | kill | err]
             blob = np.asarray(host_pack)

@@ -280,13 +280,18 @@ def _track_step(
                     max_iters=100,
                 )
 
-            Ta, chi2a, inla, ra = solve_from(T_base)
-            Tb, chi2b, inlb, rb = solve_from(pose_prev)
-            na, nb = jnp.sum(inla), jnp.sum(inlb)
-            use_b = (nb > na) | ((nb == na) & (rb.error < ra.error))
-            T_opt = jnp.where(use_b, Tb, Ta)
-            chi2 = jnp.where(use_b, chi2b, chi2a)
-            inl = jnp.where(use_b, inlb, inla)
+            # both starts solved as ONE batched LM (vmap over the initial
+            # pose): the while_loop iterations of the two solves run in
+            # lockstep lanes, so the serial depth is max(iters_a, iters_b)
+            # instead of their sum
+            Ts, chi2s, inls, rs = jax.vmap(solve_from)(
+                jnp.stack([T_base, pose_prev])
+            )
+            na, nb = jnp.sum(inls[0]), jnp.sum(inls[1])
+            use_b = (nb > na) | ((nb == na) & (rs.error[1] < rs.error[0]))
+            T_opt = jnp.where(use_b, Ts[1], Ts[0])
+            chi2 = jnp.where(use_b, chi2s[1], chi2s[0])
+            inl = jnp.where(use_b, inls[1], inls[0])
             v_opt, b_opt = v_base, b_base
         else:
             T_opt, v_opt, b_opt, chi2, inl, _ = lm.motion_only_ba_imu(
