@@ -34,6 +34,9 @@ def main():
         if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
             r = mapper.run(trk.new_kf_slots[-1])
             trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+            # merge BA-triangulated landmarks into the active set (also
+            # re-gathers the device-side copies BA just moved)
+            trk.add_active(r["new_lm_ids"])
         err = np.linalg.norm(pose[:3, 3] - scene.poses_c2w[f][:3, 3])
         print(f"frame {f:3d}  t_err {err*100:6.2f} cm  kfs {world.n_keyframes}  lms {world.n_landmarks}")
     wall = time.time() - t0

@@ -133,11 +133,15 @@ def _frontend(left, right, fx, baseline, scale_factors, params_static):
         "mono",
         "has_imu",
     ),
-    donate_argnames=("state",),
+    # NOT donated: `outputs` leaves like midx/inliers/in_frame have the same
+    # byte size as state members (miss_age, valid), so under donation XLA
+    # aliases them into the donated buffers and the NEXT frame's dispatch
+    # overwrites them before the depth-1 pipeline's deferred KF insertion
+    # consumes them (silent map corruption).
 )
 def _track_step(
     LR,  # (2, H, W) stacked left/right, or (1, H, W) mono (uint8; cast on device)
-    state,  # device-resident tracker state pytree (donated)
+    state,  # device-resident tracker state pytree
     imu_samples,  # (S, 7) [dt, gyro, accel] rows (dt==0 pads) — ignored if not has_imu
     imu_const,  # (gravity_w (3,), T_bc (4,4), ImuParams) — dummies if not has_imu
     radii,  # (R,) adaptive radius schedule (reference 1191-1233)
@@ -874,13 +878,21 @@ class StereoTracker:
                 self.miss_age = _map_ages(self.active_ids, layout, ages)
 
     def _kf_decision(self, frame_idx: int, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:
-        """Keyframe policy (reference src/FeatureTracker.cpp:1261-1267)."""
+        """Keyframe policy (reference src/FeatureTracker.cpp:1261-1267).
+
+        The low-stereo-inlier trigger is suppressed for frames dispatched
+        BEFORE the last keyframe's spawned landmarks entered the active set
+        (i.e. within `pipeline_depth` frames of it): such a frame could not
+        possibly have matched those landmarks, so its low count is an
+        artifact of the dispatch pipeline, not of tracking quality — firing
+        on it cascades into a keyframe every frame and degrades the map."""
         p = self.params
         ratio_thr = (
             p.kf_tracked_ratio_many if n_keys > p.many_keys else p.kf_tracked_ratio
         )
+        saw_last_kf = frame_idx - self.last_kf_frame > p.pipeline_depth
         return (
-            n_stereo_inl < p.kf_min_stereo
+            (saw_last_kf and n_stereo_inl < p.kf_min_stereo)
             or (
                 frame_idx - self.last_kf_frame >= p.kf_every
                 and n_inl < ratio_thr * max(self.last_kf_tracked, 1)
@@ -1186,13 +1198,16 @@ class MonoTracker(StereoTracker):
 
     def _kf_decision(self, frame_idx: int, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:
         """Mono KF policy (reference 1470-1484): every-Nth frame with a low
-        tracked ratio, or the tracked mono count degrading."""
+        tracked ratio, or the tracked mono count degrading. Like the stereo
+        policy, the low-count trigger only fires for frames dispatched after
+        the last keyframe's landmarks were live (see StereoTracker)."""
         p = self.params
         ratio_thr = (
             p.kf_tracked_ratio_many if n_keys > p.many_keys else p.kf_tracked_ratio
         )
+        saw_last_kf = frame_idx - self.last_kf_frame > p.pipeline_depth
         return (
-            n_inl < p.kf_min_stereo
+            (saw_last_kf and n_inl < p.kf_min_stereo)
             or (
                 frame_idx - self.last_kf_frame >= p.kf_every
                 and n_inl < ratio_thr * max(self.last_kf_tracked, 1)
