@@ -2,7 +2,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vslam_tpu.ops import fast, hamming, orb, pyramid
+from vslam_tpu.ops import extract, fast, hamming, orb, pyramid
 from vslam_tpu.utils import synthetic
 
 CIRCLE = fast._CIRCLE
@@ -156,3 +156,38 @@ def test_gaussian_blur_preserves_mean_and_smooths():
     out = pyramid.gaussian_blur(img)
     assert abs(float(jnp.mean(out)) - float(jnp.mean(img))) < 0.5
     assert float(jnp.var(out)) < float(jnp.var(img))
+
+
+def test_brief_matmul_matches_gather_oracle():
+    """The MXU one-hot BRIEF (brief_from_patches) must be bit-exact vs the
+    gather oracle (brief_from_patches_gather)."""
+    rng = np.random.default_rng(7)
+    patches = jnp.asarray(rng.uniform(0, 255, size=(2, 64, 31, 31)).astype(np.float32))
+    angle = jnp.asarray(rng.uniform(-np.pi, np.pi, size=(2, 64)).astype(np.float32))
+    pk_mm, sg_mm = orb.brief_from_patches(patches, angle)
+    pk_g, sg_g = orb.brief_from_patches_gather(patches, angle)
+    assert np.array_equal(np.asarray(pk_mm), np.asarray(pk_g))
+    assert np.array_equal(np.asarray(sg_mm), np.asarray(sg_g))
+
+
+def test_onehot_patch_extraction_matches_direct_indexing():
+    """extract_batch's one-hot-matmul patch path must be exact: descriptors
+    at interior keypoints equal brief_descriptors on the blurred level."""
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, size=(96, 128)).astype(np.float32)
+    keys = extract.extract(jnp.asarray(img), n_levels=2, scale=1.2, total=64)
+    blurred = pyramid.gaussian_blur(jnp.asarray(img))
+    l0 = np.asarray(keys.octave) == 0
+    interior = (
+        l0
+        & np.asarray(keys.valid)
+        & (np.asarray(keys.xy)[:, 0] >= 15) & (np.asarray(keys.xy)[:, 0] < 128 - 15)
+        & (np.asarray(keys.xy)[:, 1] >= 15) & (np.asarray(keys.xy)[:, 1] < 96 - 15)
+    )
+    if not interior.any():
+        return
+    xy = jnp.asarray(np.asarray(keys.xy)[interior].astype(np.int32))
+    ang = jnp.asarray(np.asarray(keys.angle)[interior])
+    pk_ref, _ = orb.brief_descriptors(blurred, xy, ang)
+    pk_new = np.asarray(keys.packed)[interior]
+    assert np.array_equal(np.asarray(pk_ref), pk_new)

@@ -53,33 +53,33 @@ def extract_batch(
     fast_lo: float = 7.0,
 ) -> Keys:
     """Batched extraction over (B, H, W) images (e.g. a stereo pair as one
-    program). Detection runs per pyramid level (static shapes differ), but
-    description is ONE pass: blurred levels are packed into a padded
-    (B, n_levels, H, W) atlas, every keypoint's 31x31 patch is gathered in a
-    single op, and orientation + BRIEF are computed from the patches —
-    replacing 2 x n_levels separate gather/describe stages per frame. All
-    Keys fields carry a leading batch dim."""
+    program). Detection runs per pyramid level (static shapes differ);
+    each level's 31x31 patches are then extracted with TWO-SIDED ONE-HOT
+    MATMULS on the MXU (patch = RowSel @ level_img @ ColSel^T) instead of a
+    flat element gather — random-access gathers scalarize on TPU (~20 ms for
+    the 2M-element patch fetch) while the one-hot contraction runs in ~2 ms
+    and is bit-exact (each output has exactly ONE nonzero term, so there is
+    no accumulation error). Orientation + BRIEF are computed from the
+    patches. All Keys fields carry a leading batch dim."""
     B, H, W = imgs.shape
     shapes = pyramid.level_shapes(H, W, n_levels, scale)
     quotas = level_quotas(total, n_levels, scale)
 
-    atlas = jnp.zeros((B, n_levels, H, W), imgs.dtype)
+    P = orb.PATCH
+    half = P // 2
+    dlt = jnp.arange(-half, half + 1, dtype=jnp.int32)
+
     cur = imgs
-    xs, resps, valids = [], [], []
+    xs, resps, valids, patch_parts = [], [], [], []
     slot_level: list[int] = []
-    slot_h: list[int] = []
-    slot_w: list[int] = []
     for l in range(n_levels):
         h, w = shapes[l]
         if l > 0:
             cur = pyramid.resize_bilinear_batch(cur, h, w)
-        blurred = pyramid.gaussian_blur_batch(cur)
-        atlas = jax.lax.dynamic_update_slice(
-            atlas, blurred[:, None], (0, l, 0, 0)
-        )
         quota = quotas[l]
         if quota <= 0:
             continue
+        blurred = pyramid.gaussian_blur_batch(cur)
         margin = min(edge_margin, min(h, w) // 4)
         xy, resp, valid = jax.vmap(
             lambda im: fast.detect(
@@ -95,32 +95,31 @@ def extract_batch(
         resps.append(resp)
         valids.append(valid)
         slot_level += [l] * quota
-        slot_h += [h] * quota
-        slot_w += [w] * quota
+
+        # one-hot patch extraction for this level's keypoints (MXU)
+        ys_ = jnp.clip(xy[:, :, 1, None] + dlt[None, None], 0, h - 1)  # (B,q,P)
+        xs_ = jnp.clip(xy[:, :, 0, None] + dlt[None, None], 0, w - 1)
+        rows = (ys_[..., None] == jnp.arange(h)[None, None, None]).astype(
+            jnp.float32
+        )  # (B, q, P, h)
+        cols = (xs_[..., None] == jnp.arange(w)[None, None, None]).astype(
+            jnp.float32
+        )  # (B, q, P, w)
+        t = jnp.einsum(
+            "bqph,bhw->bqpw", rows, blurred, precision=jax.lax.Precision.HIGHEST
+        )
+        patch_parts.append(
+            jnp.einsum(
+                "bqpw,bqjw->bqpj", t, cols, precision=jax.lax.Precision.HIGHEST
+            )
+        )
 
     xy_lvl = jnp.concatenate(xs, axis=1)  # (B, N, 2) int32 level coords
     resp = jnp.concatenate(resps, axis=1)
     valid = jnp.concatenate(valids, axis=1)
     N = xy_lvl.shape[1]
     lvl = jnp.asarray(np.array(slot_level, np.int32))
-    hb = jnp.asarray(np.array(slot_h, np.int32))
-    wb = jnp.asarray(np.array(slot_w, np.int32))
-
-    # one patch gather for ALL keypoints of ALL levels and both images
-    P = orb.PATCH
-    half = P // 2
-    dy = jnp.arange(-half, half + 1, dtype=jnp.int32)
-    dx = jnp.arange(-half, half + 1, dtype=jnp.int32)
-    ys = jnp.clip(xy_lvl[:, :, 1, None] + dy[None, None], 0, (hb - 1)[None, :, None])
-    xs_ = jnp.clip(xy_lvl[:, :, 0, None] + dx[None, None], 0, (wb - 1)[None, :, None])
-    flat_idx = (
-        lvl[None, :, None, None] * (H * W)
-        + ys[:, :, :, None] * W
-        + xs_[:, :, None, :]
-    ).reshape(B, N * P * P)
-    patches = jnp.take_along_axis(
-        atlas.reshape(B, n_levels * H * W), flat_idx, axis=1
-    ).reshape(B, N, P, P)
+    patches = jnp.concatenate(patch_parts, axis=1)  # (B, N, P, P)
 
     angle = orb.orientation_from_patches(patches)
     packed, signed = orb.brief_from_patches(patches, angle)

@@ -99,19 +99,18 @@ def orientation_from_patches(patches: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
-def brief_from_patches(
-    patches: jax.Array, angle: jax.Array
-) -> tuple[jax.Array, jax.Array]:
-    """Rotated BRIEF sampled INSIDE pre-gathered 31x31 patches.
+def _pack_bits(bits: jax.Array) -> tuple[jax.Array, jax.Array]:
+    words = bits.reshape(*bits.shape[:-1], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    packed = jnp.sum(words << shifts, axis=-1, dtype=jnp.uint32)
+    signed = (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+    return packed, signed
 
-    The pattern extent is <= 13 px (see :func:`brief_pattern`), so every
-    rotated offset stays within the patch — one cheap in-patch
-    take_along_axis replaces the per-level image gathers. Identical bits to
-    :func:`brief_descriptors` for interior keypoints.
 
-    patches: (..., N, 31, 31); angle: (..., N). Returns (packed (..., N, 8)
-    uint32, signed (..., N, 256) int8).
-    """
+def _rotated_pattern(angle: jax.Array):
+    """Rounded in-patch sample coords for both pattern points, rotated by
+    each keypoint's angle (reference rotates its pattern the same way,
+    src/FeatureExtractor.cpp:268-313). Returns four (..., N, 256) int32."""
     pat = jnp.asarray(brief_pattern(), jnp.float32)  # (256, 4)
     ca = jnp.cos(angle)[..., None]
     sa = jnp.sin(angle)[..., None]
@@ -120,22 +119,57 @@ def brief_from_patches(
     def rot(px, py):
         rx = jnp.round(px * ca - py * sa).astype(jnp.int32)
         ry = jnp.round(px * sa + py * ca).astype(jnp.int32)
-        return rx, ry  # (..., N, 256)
+        return jnp.clip(rx + HALF, 0, PATCH - 1), jnp.clip(ry + HALF, 0, PATCH - 1)
 
     r1x, r1y = rot(x1, y1)
     r2x, r2y = rot(x2, y2)
+    return r1x, r1y, r2x, r2y
+
+
+def brief_from_patches(
+    patches: jax.Array, angle: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Rotated BRIEF sampled INSIDE pre-gathered 31x31 patches via
+    FACTORIZED ONE-HOT MATMULS (row one-hot contraction on the MXU, then a
+    masked column reduction) — a flat take_along_axis scalarizes on TPU
+    (~15 ms for 2x1024 keys) while this runs in ~1.6 ms. Bit-exact vs the
+    gather form (:func:`brief_from_patches_gather`): the row contraction has
+    exactly one nonzero term per output, so there is no accumulation error.
+
+    patches: (..., N, 31, 31); angle: (..., N). Returns (packed (..., N, 8)
+    uint32, signed (..., N, 256) int8).
+    """
+    r1x, r1y, r2x, r2y = _rotated_pattern(angle)
+    ar = jnp.arange(PATCH)
+
+    def sample(rx, ry):
+        RY = (ry[..., None] == ar).astype(jnp.float32)  # (..., N, 256, P)
+        tmp = jnp.einsum(
+            "...nkr,...nrc->...nkc",
+            RY,
+            patches,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        CX = (rx[..., None] == ar).astype(jnp.float32)
+        return jnp.sum(tmp * CX, axis=-1)  # (..., N, 256)
+
+    i1 = sample(r1x, r1y)
+    i2 = sample(r2x, r2y)
+    return _pack_bits((i1 < i2).astype(jnp.uint32))
+
+
+def brief_from_patches_gather(
+    patches: jax.Array, angle: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Gather-based oracle for :func:`brief_from_patches` (same bits; used
+    in parity tests and host-side debugging — slow on TPU)."""
+    r1x, r1y, r2x, r2y = _rotated_pattern(angle)
     flat = patches.reshape(*patches.shape[:-2], PATCH * PATCH)
-    idx1 = jnp.clip(r1y + HALF, 0, PATCH - 1) * PATCH + jnp.clip(r1x + HALF, 0, PATCH - 1)
-    idx2 = jnp.clip(r2y + HALF, 0, PATCH - 1) * PATCH + jnp.clip(r2x + HALF, 0, PATCH - 1)
+    idx1 = r1y * PATCH + r1x
+    idx2 = r2y * PATCH + r2x
     i1 = jnp.take_along_axis(flat, idx1, axis=-1)
     i2 = jnp.take_along_axis(flat, idx2, axis=-1)
-    bits = (i1 < i2).astype(jnp.uint32)  # (..., N, 256)
-
-    words = bits.reshape(*bits.shape[:-1], 8, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    packed = jnp.sum(words << shifts, axis=-1, dtype=jnp.uint32)
-    signed = (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
-    return packed, signed
+    return _pack_bits((i1 < i2).astype(jnp.uint32))
 
 
 def brief_descriptors(
