@@ -32,9 +32,6 @@ def _setup_cache():
 
 def main():
     _setup_cache()
-    import queue
-    import threading
-
     from vslam_tpu.models import local_mapper, map_state, tracker
     from vslam_tpu.utils import synthetic, trajectory
 
@@ -59,40 +56,26 @@ def main():
         for f in range(n_frames)
     ]
 
-    # background local-BA thread (the reference's LocalMapper thread,
-    # src/System.cpp:18-19): tracking never blocks on BA latency
-    ba_in: "queue.Queue[int]" = queue.Queue()
-    ba_out: "queue.Queue[dict]" = queue.Queue()
-    stop = threading.Event()
+    # async local BA (the role of the reference's LocalMapper thread,
+    # src/System.cpp:18-19): the whole mapping pipeline is DISPATCHED to the
+    # device queue at the KF and its result blobs are consumed one frame
+    # later, when their host copies have landed — tracking never blocks on
+    # BA latency and no host thread fights the GIL
+    pending_ba = [None]
 
-    def ba_loop():
-        while not stop.is_set():
-            try:
-                slot = ba_in.get(timeout=0.01)
-            except queue.Empty:
-                continue
-            while True:  # drain to the newest KF (the reference BA's only the last)
-                try:
-                    slot = ba_in.get_nowait()
-                except queue.Empty:
-                    break
-            ba_out.put(mapper.run(slot))
-
-    thr = threading.Thread(target=ba_loop, daemon=True)
-    thr.start()
-
-    def step(f):
-        while True:
-            try:
-                r = ba_out.get_nowait()
-            except queue.Empty:
-                break
+    def consume_ba():
+        if pending_ba[0] is not None:
+            r = mapper.finish(pending_ba[0])
+            pending_ba[0] = None
             trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
             trk.add_active(r["new_lm_ids"])
+
+    def step(f):
+        consume_ba()
         n_kf = len(trk.new_kf_slots)
         trk.track(*frames[f])
         if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
-            ba_in.put(trk.new_kf_slots[-1])
+            pending_ba[0] = mapper.run_async(trk.new_kf_slots[-1])
 
     warmup = 12
     for f in range(warmup):
@@ -111,10 +94,9 @@ def main():
     for f in range(warmup, n_frames):
         step(f)
     trk.flush()
+    consume_ba()
     dt = time.perf_counter() - t0
     fps = (n_frames - warmup) / dt
-    stop.set()
-    thr.join(timeout=10)
 
     poses = trk.trajectory()
     ate = trajectory.ate_rmse(poses, scene.poses_c2w[: len(poses)], align=False)

@@ -29,6 +29,71 @@ LM_SLOTS = 4096  # landmark slots per BA problem (static shape)
 SPAWN_TRI = 512  # new-landmark budget per triangulation pass (static shape)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("lm_capacity", "n_levels", "scale")
+)
+def _assemble_device(
+    m: map_state.MapArrays,
+    kf_slots: jax.Array,  # (WINDOW,) int32
+    kf_valid: jax.Array,  # (WINDOW,) bool
+    lm_ids: jax.Array,  # (LM_SLOTS,) int32 sorted, sentinel-padded
+    lm_pad_valid: jax.Array,  # (LM_SLOTS,) bool
+    fixed: jax.Array,  # (WINDOW,) bool
+    K: jax.Array,
+    baseline,
+    lm_capacity: int,
+    n_levels: int,
+    scale: float,
+):
+    """All device-side BA-problem construction as ONE program: window
+    gathers, the observation->local-landmark mapping (device searchsorted —
+    sees in-flight triangulation updates the host mirrors do not), and the
+    odometry chain from the device poses (reference 750-768)."""
+    Wb = kf_slots.shape[0]
+    K_keys = m.obs_lm.shape[1]
+    lm_safe = jnp.clip(lm_ids, 0, lm_capacity - 1)
+
+    poses = m.kf_pose[kf_slots]
+    pts = m.lm_pos[lm_safe]
+    pt_valid = lm_pad_valid & m.lm_valid[lm_safe]
+
+    obs_kf = jnp.repeat(jnp.arange(Wb, dtype=jnp.int32), K_keys)
+    flat = m.obs_lm[kf_slots].reshape(-1)
+    row_ok = jnp.repeat(kf_valid, K_keys)
+    local = jnp.clip(
+        jnp.searchsorted(lm_ids, jnp.maximum(flat, 0)), 0, LM_SLOTS - 1
+    )
+    hit = (flat >= 0) & (lm_ids[local] == flat) & row_ok
+    obs_lm = jnp.where(hit, local, 0).astype(jnp.int32)
+
+    obs_uv = m.obs_uv[kf_slots].reshape(-1, 3)
+    obs_oct = m.obs_oct[kf_slots].reshape(-1)
+    obs_stereo = m.obs_stereo[kf_slots].reshape(-1)
+    obs_w = jnp.sqrt(extract.inv_sigma2(obs_oct, n_levels, scale))
+
+    odo_rel = jax.vmap(lambda a, b: se3.inverse(a) @ b)(poses[:-1], poses[1:])
+    odo_valid = kf_valid[:-1] & kf_valid[1:]
+
+    p = schur.BAProblem(
+        poses=poses,
+        fixed=fixed,
+        pose_valid=kf_valid,
+        pts=pts,
+        pt_valid=pt_valid,
+        obs_kf=obs_kf,
+        obs_lm=obs_lm,
+        obs_uv=obs_uv,
+        obs_stereo=obs_stereo,
+        obs_w=obs_w,
+        obs_valid=hit,
+        K=K,
+        baseline=baseline,
+        odo_rel=odo_rel,
+        odo_valid=odo_valid,
+    )
+    return p, lm_safe
+
+
 @functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
 def _triangulate_new_points(
     m: map_state.MapArrays,
@@ -515,7 +580,7 @@ class LocalMapper:
         return spawn[:n_new]
 
     # ------------------------------------------------------------------
-    def _assemble(self, kf_slot: int, extra_ids: np.ndarray | None = None):
+    def _assemble(self, kf_slot, extra_ids=None):
         """Build a fixed-shape BAProblem for the covisibility window of
         `kf_slot`.
 
@@ -560,59 +625,21 @@ class LocalMapper:
         )
         lm_pad_valid = np.arange(LM_SLOTS) < n_ids
 
-        m = w.arrays
-        K_keys = w.keys_per_kf
-        kf_slots_dev = jnp.asarray(kf_slots, jnp.int32)
-        lm_ids_dev = jnp.asarray(lm_ids, jnp.int32)
-        lm_safe = jnp.clip(lm_ids_dev, 0, w.lm_capacity - 1)
-
-        poses = m.kf_pose[kf_slots_dev]
-        pts = m.lm_pos[lm_safe]
-        pt_valid = jnp.asarray(lm_pad_valid) & m.lm_valid[lm_safe]
-
-        # observation table -> local indices, on device (sees in-flight
-        # triangulation updates the host mirror does not have yet)
-        obs_kf = np.repeat(np.arange(Wb, dtype=np.int32), K_keys)
-        flat = m.obs_lm[kf_slots_dev].reshape(-1)
-        row_ok = jnp.asarray(np.repeat(kf_valid, K_keys))
-        local = jnp.clip(
-            jnp.searchsorted(lm_ids_dev, jnp.maximum(flat, 0)), 0, LM_SLOTS - 1
-        )
-        hit = (flat >= 0) & (lm_ids_dev[local] == flat) & row_ok
-        obs_lm = jnp.where(hit, local, 0).astype(jnp.int32)
-        obs_valid = hit
-
-        obs_uv = m.obs_uv[kf_slots_dev].reshape(-1, 3)
-        obs_oct = m.obs_oct[kf_slots_dev].reshape(-1)
-        obs_stereo = m.obs_stereo[kf_slots_dev].reshape(-1)
-        obs_w = jnp.sqrt(extract.inv_sigma2(obs_oct, cfg.n_levels, cfg.scale))
-
-        # odometry chain between consecutive window KFs (reference 750-768)
-        poses_host = w.kf_poses_host[kf_slots.clip(0)]
-        odo_rel = np.stack(
-            [
-                np.linalg.inv(poses_host[i]) @ poses_host[i + 1]
-                for i in range(Wb - 1)
-            ]
-        ).astype(np.float32)
-        odo_valid = kf_valid[:-1] & kf_valid[1:]
-
-        p = schur.BAProblem(
-            poses=poses,
-            fixed=jnp.asarray(fixed),
-            pose_valid=jnp.asarray(kf_valid),
-            pts=pts,
-            pt_valid=pt_valid,
-            obs_kf=jnp.asarray(obs_kf),
-            obs_lm=obs_lm,
-            obs_uv=obs_uv,
-            obs_stereo=obs_stereo,
-            obs_w=obs_w,
-            obs_valid=obs_valid,
-            K=self.K,
-            baseline=self.baseline,
-            odo_rel=jnp.asarray(odo_rel),
-            odo_valid=jnp.asarray(odo_valid),
+        # everything device-side fused into ONE program (each separate jnp op
+        # is its own dispatch on the remote tunnel, ~1-2 ms of host overhead
+        # apiece — the unfused form cost ~35 ms per BA run)
+        p, lm_safe = _assemble_device(
+            w.arrays,
+            jnp.asarray(kf_slots, jnp.int32),
+            jnp.asarray(kf_valid),
+            jnp.asarray(lm_ids, jnp.int32),
+            jnp.asarray(lm_pad_valid),
+            jnp.asarray(fixed),
+            self.K,
+            self.baseline,
+            lm_capacity=w.lm_capacity,
+            n_levels=cfg.n_levels,
+            scale=cfg.scale,
         )
         return p, kf_slots, kf_valid, lm_safe
 
@@ -622,7 +649,21 @@ class LocalMapper:
         into the map. Returns re-anchoring info for the tracker.
 
         mono=True also runs local BA — an improvement over the reference,
-        whose mono mode has no LocalMapper at all (src/System.cpp:11-20)."""
+        whose mono mode has no LocalMapper at all (src/System.cpp:11-20).
+
+        Synchronous form of :meth:`run_async` + :meth:`finish` — the fetch
+        blocks behind the full device queue plus a tunnel round trip, so
+        prefer the split form whenever a frame of other work can run in
+        between (the reference runs its LocalMapper on a thread for the same
+        reason, src/System.cpp:18-19)."""
+        return self.finish(self.run_async(kf_slot, mono=mono))
+
+    def run_async(self, kf_slot: int, mono: bool = False) -> dict:
+        """Dispatch the COMPLETE local-mapping pipeline for `kf_slot` —
+        triangulation, window assembly, fused 2-round BA, map write-back —
+        as device programs without fetching anything. The device-resident
+        map is fully updated once the queue drains; the returned pending
+        handle carries the in-flight host copies for :meth:`finish`."""
         w = self.world
         cfg = self.cfg
         # triangulation is DISPATCHED but not fetched: _assemble sees its
@@ -672,16 +713,36 @@ class LocalMapper:
                 obs_kill_key,
                 kill,
             )
+        return {
+            "kf_slot": kf_slot,
+            "mono": mono,
+            "tri": pend,
+            "host_pack": host_pack,
+            "kf_slots": kf_slots,
+            "kf_valid": kf_valid,
+            "old_pose": old_last_pose,
+            "kill_kf": obs_kill_kf_host,
+            "kill_key": obs_kill_key_host,
+        }
+
+    def finish(self, pending: dict) -> dict:
+        """Consume a :meth:`run_async` handle: fetch the packed result blobs
+        (they have been copying while other work ran) and update the host
+        mirrors. Returns re-anchoring info for the tracker."""
+        w = self.world
+        kf_slots, kf_valid = pending["kf_slots"], pending["kf_valid"]
+        K_keys = w.keys_per_kf
+        with w.update_lock:
             # consume the triangulation blob first (its copy started before
-            # the BA was dispatched, so it has long since landed); this also
-            # updates the host observation mirrors and the allocator
+            # the BA was dispatched, so it lands first); this also updates
+            # the host observation mirrors and the allocator
             new_lm_ids = (
-                self._finish_triangulation(pend)
-                if pend is not None
+                self._finish_triangulation(pending["tri"])
+                if pending["tri"] is not None
                 else np.zeros(0, np.int64)
             )
             # host mirrors: ONE packed fetch [poses | kill | err]
-            blob = np.asarray(host_pack)
+            blob = np.asarray(pending["host_pack"])
             new_poses = blob[: WINDOW * 16].reshape(WINDOW, 4, 4)
             kill_host = blob[WINDOW * 16 : WINDOW * 16 + WINDOW * K_keys] > 0.5
             err = float(blob[-1])
@@ -689,15 +750,15 @@ class LocalMapper:
                 if v:
                     w.kf_poses_host[slot] = new_poses[i]
             if kill_host.any():
-                kkf = obs_kill_kf_host[kill_host]
-                kkey = obs_kill_key_host[kill_host]
+                kkf = pending["kill_kf"][kill_host]
+                kkey = pending["kill_key"][kill_host]
                 w.kf_obs_lm[kkf, kkey] = -1
             self.ba_count += 1
 
         return {
-            "kf_slot": kf_slot,
-            "old_pose": old_last_pose,
-            "new_pose": w.kf_poses_host[kf_slot].copy(),
+            "kf_slot": pending["kf_slot"],
+            "old_pose": pending["old_pose"],
+            "new_pose": w.kf_poses_host[pending["kf_slot"]].copy(),
             "error": float(err),
             "n_killed": int(kill_host.sum()),
             "window": kf_slots[kf_valid].tolist(),

@@ -3,16 +3,15 @@
 Equivalent of reference VSlamSystem (include/System.h:15-57,
 src/System.cpp): wires cameras/extraction/tracker/map from one YAML config,
 dispatches TrackStereo / TrackStereoIMU / TrackMonoIMU per mode, runs the
-local mapper per keyframe (synchronously by default, or on a background
-thread like the reference's LocalMapper thread, src/System.cpp:18-19), and
-saves trajectories in the reference's KITTI 3x4 format
-(src/System.cpp:87-124).
+local mapper per keyframe (synchronously by default; with async_ba=True the
+BA is dispatched to the device queue and its results are consumed one frame
+later — the role the reference's LocalMapper thread plays,
+src/System.cpp:18-19, without a host thread fighting the GIL), and saves
+trajectories in the reference's KITTI 3x4 format (src/System.cpp:87-124).
 """
 
 from __future__ import annotations
 
-import queue
-import threading
 
 import jax.numpy as jnp
 import numpy as np
@@ -108,13 +107,7 @@ class VSlamSystem:
             self._maps = (jnp.asarray(ml), jnp.asarray(mr))
 
         self._async = async_ba
-        self._ba_queue: "queue.Queue[int]" = queue.Queue()
-        self._ba_results: "queue.Queue[dict]" = queue.Queue()
-        self._ba_thread = None
-        self._stop = threading.Event()
-        if async_ba:
-            self._ba_thread = threading.Thread(target=self._ba_loop, daemon=True)
-            self._ba_thread.start()
+        self._pending_ba: dict | None = None
 
     # ------------------------------------------------------------------
     def _rectify(self, left, right):
@@ -124,28 +117,19 @@ class VSlamSystem:
         R = cam.remap_bilinear(jnp.asarray(right, jnp.float32), self._maps[1])
         return np.asarray(L), np.asarray(R)
 
-    def _ba_loop(self):
-        while not self._stop.is_set():
-            try:
-                slot, mono = self._ba_queue.get(timeout=0.02)
-            except queue.Empty:
-                continue
-            # drain to the newest KF (the reference only ever BA's the last)
-            while True:
-                try:
-                    slot, mono = self._ba_queue.get_nowait()
-                except queue.Empty:
-                    break
-            self._ba_results.put(self.mapper.run(slot, mono=mono))
-
     def _consume_ba_results(self):
-        while True:
-            try:
-                r = self._ba_results.get_nowait()
-            except queue.Empty:
-                return
-            self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
-            self.tracker.add_active(r.get("new_lm_ids", ()))
+        """Finish the in-flight local-BA dispatch, if any. The device ran
+        (or is running) the whole pipeline since run_async; by the time the
+        next frame reaches here its result copies have landed, so this
+        costs ~no blocking (the reference gets the same overlap from its
+        LocalMapper thread, src/System.cpp:18-19 — here the device queue IS
+        the second thread, without fighting the host GIL)."""
+        if self._pending_ba is None:
+            return
+        r = self.mapper.finish(self._pending_ba)
+        self._pending_ba = None
+        self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+        self.tracker.add_active(r.get("new_lm_ids", ()))
 
     # ------------------------------------------------------------------
     def _imu_to_dt_rows(self, rows) -> np.ndarray | None:
@@ -211,21 +195,19 @@ class VSlamSystem:
             slot = self.tracker.new_kf_slots[-1]
             if slot > 0:  # BA needs at least 2 KFs
                 if self._async:
-                    self._ba_queue.put((slot, mono))
+                    self._consume_ba_results()  # at most one BA in flight
+                    self._pending_ba = self.mapper.run_async(slot, mono=mono)
                 else:
                     r = self.mapper.run(slot, mono=mono)
                     self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
                     self.tracker.add_active(r["new_lm_ids"])
 
     def exit(self):
-        """Drain the BA thread (the reference's ExitSystem is an empty stub,
-        src/System.cpp:67-70 — here it actually joins)."""
+        """Drain the pipeline and the in-flight BA (the reference's
+        ExitSystem is an empty stub, src/System.cpp:67-70 — here it actually
+        finishes the outstanding work)."""
         self.tracker.flush()
-        if self._ba_thread is not None:
-            self._stop.set()
-            self._ba_thread.join(timeout=10.0)
-        if self._async:
-            self._consume_ba_results()
+        self._consume_ba_results()
 
     # ------------------------------------------------------------------
     def trajectory(self) -> np.ndarray:

@@ -88,7 +88,12 @@ class TrackerParams:
     close_factor: float = 40.0
     # dispatch pipeline depth: 1 = host processes frame N-1 while the device
     # computes frame N (hides the host<->device handshake); 0 = synchronous
-    pipeline_depth: int = 1
+    # depth 2: the result blob of frame f is fetched while frames f+1, f+2
+    # are in flight — the device->host copy (a ~30-40 ms tunnel round trip
+    # that can only START once frame f's compute finishes) gets a full
+    # frame of compute to land behind, so the blocking fetch costs ~0
+    # instead of gating every frame at the round-trip latency
+    pipeline_depth: int = 2
 
 
 @functools.partial(jax.jit, static_argnames=("params_static",))
