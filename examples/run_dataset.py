@@ -54,10 +54,14 @@ def main():
     times = []
     t0 = time.time()
     n = 0
+    mono = system.mode in (SlamMode.MONOCULAR, SlamMode.MONO_IMU)
     for frame in ds.frames(args.limit):
         if _stop:
             break
-        system.track_stereo(frame.left, frame.right, imu=frame.imu)
+        if mono:
+            system.track_mono_imu(frame.left, imu=frame.imu)
+        else:
+            system.track_stereo(frame.left, frame.right, imu=frame.imu)
         times.append(frame.t)
         n += 1
         if n % 50 == 0:

@@ -28,6 +28,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import jax.scipy.linalg
 import jax.numpy as jnp
 
 from vslam_tpu.geometry import se3
@@ -161,6 +162,26 @@ def _assemble(p: BAProblem):
     return Hpp, Hll, Hpl, gp, gl
 
 
+def _inv3(A: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / determinant) — pure
+    elementwise VPU math. jnp.linalg.inv lowers to a pivoted LU that runs
+    ~3.6 ms for a (4096,3,3) batch on TPU; this is free at the same
+    accuracy for well-conditioned damped Hessian blocks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co = jnp.stack(
+        [
+            e * i - f * h, c * h - b * i, b * f - c * e,
+            f * g - d * i, a * i - c * g, c * d - a * f,
+            d * h - e * g, b * g - a * h, a * e - b * d,
+        ],
+        axis=-1,
+    ).reshape(*A.shape[:-2], 3, 3)
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    return co / det[..., None, None]
+
+
 def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam):
     """Damped Schur-complement solve -> (delta_pose (W,6), delta_pt (L,3))."""
     W = p.poses.shape[0]
@@ -175,7 +196,7 @@ def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam):
     # make invalid/unobserved landmark blocks identity (delta stays 0: g=0)
     observed = jnp.einsum("lii->l", Hll) > 1e-12
     Hll_d = jnp.where(observed[:, None, None], Hll_d, eye3[None])
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = _inv3(Hll_d)
 
     # reduced camera system S = Hpp - Hpl Hll^-1 Hlp  (sum over landmarks)
     S = Hpp - jnp.einsum("alij,ljk,blmk->abim", Hpl, Hll_inv, Hpl)
@@ -196,8 +217,12 @@ def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam):
     )
     b = jnp.where(free[:, None], b, 0.0)
 
+    # S is symmetric positive definite after damping + identity rows for
+    # frozen poses — Cholesky is ~2x faster than the pivoted LU of
+    # jnp.linalg.solve on TPU for this 72x72 system
     S_dense = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-    delta_p = jnp.linalg.solve(S_dense, -b.reshape(-1)).reshape(W, 6)
+    chol = jax.scipy.linalg.cho_factor(S_dense)
+    delta_p = jax.scipy.linalg.cho_solve(chol, -b.reshape(-1)).reshape(W, 6)
 
     # back-substitute landmarks: dl = Hll^-1 (-gl - Hlp dp)
     rhs = -gl - jnp.einsum("alij,ai->lj", Hpl, delta_p)
@@ -207,14 +232,24 @@ def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam):
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def local_ba(p: BAProblem, iters: int = 5, lambda0: float = 1e-4):
-    """Run `iters` LM iterations; returns (updated problem, final error,
-    final lambda). Accept/reject per iteration like GTSAM LM."""
+def local_ba(
+    p: BAProblem, iters: int = 5, lambda0: float = 1e-4, rel_tol: float = 1e-5
+):
+    """Run up to `iters` LM iterations; returns (updated problem, final
+    error, final lambda). Accept/reject per iteration like GTSAM LM, with
+    GTSAM's relativeErrorTol early exit (the reference sets 1e-5,
+    src/OptimizationBA.cpp:772-777) — a lax.while_loop, so a converged
+    window (the common steady-state case: it changed by one KF since the
+    last solve) costs 1-2 iterations instead of the full budget."""
 
     err0 = ba_error(p)
 
-    def body(_, carry):
-        p, lam, err = carry
+    def cond(carry):
+        _, _, _, i, done = carry
+        return (i < iters) & ~done
+
+    def body(carry):
+        p, lam, err, i, _ = carry
         Hpp, Hll, Hpl, gp, gl = _assemble(p)
         dp, dl = _schur_solve(p, Hpp, Hll, Hpl, gp, gl, lam)
         new_poses = jax.vmap(se3.retract)(p.poses, dp)
@@ -224,15 +259,17 @@ def local_ba(p: BAProblem, iters: int = 5, lambda0: float = 1e-4):
         # NaN-safe accept/reject: a non-finite trial (degenerate Schur solve)
         # is rejected and must not poison the running error
         improved = new_err < err  # False when new_err is NaN
+        # converged per GTSAM relativeErrorTol, on an ACCEPTED step only
+        done = improved & (err - new_err <= rel_tol * jnp.maximum(err, 1e-12))
         p = jax.tree.map(lambda a, b: jnp.where(improved, b, a), p, p_new)
         lam = jnp.clip(
             jnp.where(improved, lam * 0.1, lam * 10.0), 1e-9, 1e6
         )
         err = jnp.where(improved, new_err, err)
-        return (p, lam, err)
+        return (p, lam, err, i + 1, done)
 
-    p, lam, err = jax.lax.fori_loop(
-        0, iters, body, (p, jnp.float32(lambda0), err0)
+    p, lam, err, _, _ = jax.lax.while_loop(
+        cond, body, (p, jnp.float32(lambda0), err0, jnp.int32(0), jnp.bool_(False))
     )
     return p, err, lam
 
