@@ -114,9 +114,16 @@ def test_brief_consistency_across_views():
     scene = synthetic.make_scene(n_frames=3, n_points=50, width=320, height=240, seed=4)
     img0 = scene.render(0)
     img1 = scene.render(1)
-    uv0, vis0, _ = scene.project_points(0)
+    uv0, vis0, z0 = scene.project_points(0)
     uv1, vis1, _ = scene.project_points(1)
-    both = vis0 & vis1
+    # restrict to points whose patch has real apparent texture detail
+    # (projected side >= ~18 px): a 31-px BRIEF window around a far tiny
+    # patch is mostly flat background + one bright blob — all such patches
+    # legitimately look alike, so discriminativeness is only a meaningful
+    # property where the texture resolves (the live matcher's octave +
+    # scale-band gates impose the same restriction).
+    big = z0 < scene.K[0, 0] * scene.patch_phys / 18.0
+    both = vis0 & vis1 & big
     ids = np.nonzero(both)[0][:16]
     xy0 = jnp.asarray(np.round(uv0[ids]).astype(np.int32))
     xy1 = jnp.asarray(np.round(uv1[ids]).astype(np.int32))

@@ -53,12 +53,16 @@ def test_stereo_tracking_follows_ground_truth(scene, small_params):
     n = 8
     trk, poses = _run_tracking(scene, small_params, n)
     gt = scene.poses_c2w[:n]
-    # no alignment: both start at identity
+    # no alignment: both start at identity. Principled bound: the renderer
+    # is subpixel-consistent, so error comes only from detector/matcher
+    # subpixel noise (~0.2 px) through stereo depth (z^2/(f*b) ~ 0.3 m/px
+    # at z=4 m) — cm-scale drift over ~1 m of travel. Measured 0.015 ATE /
+    # 0.033 final; gates at ~2x for cross-platform float variation.
     ate = trajectory.ate_rmse(poses, gt, align=False)
-    assert ate < 0.08, ate
+    assert ate < 0.03, ate
     # per-frame drift stays bounded
     errs = np.linalg.norm(poses[:, :3, 3] - gt[:n, :3, 3], axis=1)
-    assert errs[-1] < 0.15, errs
+    assert errs[-1] < 0.06, errs
     # the map actually grew and KFs were created
     assert trk.world.n_landmarks > 100
     assert trk.world.n_keyframes >= 1
@@ -68,12 +72,14 @@ def test_stereo_tracking_with_local_ba(scene, small_params):
     n = 12
     trk, poses = _run_tracking(scene, small_params, n, with_ba=True)
     gt = scene.poses_c2w[:n]
+    # measured 0.013 ATE with BA (BA must not be worse than tracking
+    # alone); gates at ~2x margin — see the no-BA test for the error model
     ate = trajectory.ate_rmse(poses, gt, align=False)
-    assert ate < 0.08, ate
+    assert ate < 0.03, ate
     traj = trk.trajectory()
     assert len(traj) == n
     ate2 = trajectory.ate_rmse(traj, gt, align=False)
-    assert ate2 < 0.1, ate2
+    assert ate2 < 0.03, ate2
 
 
 def test_stereo_imu_tracking_follows_ground_truth(scene, small_params):

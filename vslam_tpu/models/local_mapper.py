@@ -25,6 +25,12 @@ from vslam_tpu.models import map_state
 from vslam_tpu.ops import extract, hamming, schur
 
 WINDOW = 12  # last KF + <=10 covisible + 1 pad (static shape)
+ANCHORS = 8  # fixed out-of-window observer KFs: the reference adds EVERY
+#              non-window KF observing a window landmark as a gauge-fixed
+#              pose WITH its observations (src/OptimizationBA.cpp:445-516)
+#              — those residuals anchor window landmarks to the rest of the
+#              map; without them the window drifts as a rigid block
+WTOT = WINDOW + ANCHORS  # total pose slots in a BA problem (static shape)
 LM_SLOTS = 4096  # landmark slots per BA problem (static shape)
 SPAWN_TRI = 512  # new-landmark budget per triangulation pass (static shape)
 
@@ -34,11 +40,15 @@ SPAWN_TRI = 512  # new-landmark budget per triangulation pass (static shape)
 )
 def _assemble_device(
     m: map_state.MapArrays,
-    kf_slots: jax.Array,  # (WINDOW,) int32
-    kf_valid: jax.Array,  # (WINDOW,) bool
+    kf_slots: jax.Array,  # (WTOT,) int32 — [window | fixed anchors | pad]
+    kf_valid: jax.Array,  # (WTOT,) bool
     lm_ids: jax.Array,  # (LM_SLOTS,) int32 sorted, sentinel-padded
     lm_pad_valid: jax.Array,  # (LM_SLOTS,) bool
-    fixed: jax.Array,  # (WINDOW,) bool
+    fixed: jax.Array,  # (WTOT,) bool
+    odo_mask: jax.Array,  # (WTOT-1,) bool — links inside the temporally-
+    #                        sorted window prefix only (anchors are not
+    #                        temporally adjacent; a bogus between-residual
+    #                        would pollute the LM error)
     K: jax.Array,
     baseline,
     lm_capacity: int,
@@ -72,7 +82,7 @@ def _assemble_device(
     obs_w = jnp.sqrt(extract.inv_sigma2(obs_oct, n_levels, scale))
 
     odo_rel = jax.vmap(lambda a, b: se3.inverse(a) @ b)(poses[:-1], poses[1:])
-    odo_valid = kf_valid[:-1] & kf_valid[1:]
+    odo_valid = kf_valid[:-1] & kf_valid[1:] & odo_mask
 
     p = schur.BAProblem(
         poses=poses,
@@ -599,24 +609,39 @@ class LocalMapper:
         covis = w.covisible_kfs(kf_slot, cfg.max_covisible, cfg.min_covis_weight)
         window = np.unique(np.concatenate([[kf_slot], covis])).astype(np.int64)
         window = np.sort(window)[-WINDOW:]  # temporal order; newest kept
-        Wb = WINDOW
-        pad_w = Wb - len(window)
-        kf_slots = np.concatenate([window, np.zeros(pad_w, np.int64)])
-        kf_valid = np.concatenate([np.ones(len(window), bool), np.zeros(pad_w, bool)])
-
-        # gauge: oldest window KF fixed; also KF 0 whenever present
-        fixed = np.zeros(Wb, bool)
-        fixed[0] = True
-        if 0 in window:
-            fixed[np.where(window == 0)[0][0]] = True
-        # if the window has only one valid KF something is off; fix it all
-        if len(window) < 2:
-            fixed[: len(window)] = True
+        wn = len(window)
 
         # candidate landmarks: window observations (host mirror, may lag an
         # in-flight triangulation) + the speculative spawn slots
         obs_tbl = w.kf_obs_lm[window]  # (wn, K)
         base = obs_tbl[obs_tbl >= 0]
+
+        # fixed anchor KFs: out-of-window observers of window landmarks,
+        # included as gauge-fixed poses WITH their observations (reference
+        # src/OptimizationBA.cpp:445-516) — they tie the window landmarks to
+        # the rest of the map so the window cannot drift as a rigid block
+        anchors = w.observers_of(np.unique(base), exclude=window, max_n=ANCHORS)
+        anchors = np.sort(anchors)
+        an = len(anchors)
+
+        pad_w = WTOT - wn - an
+        kf_slots = np.concatenate([window, anchors, np.zeros(pad_w, np.int64)])
+        kf_valid = np.concatenate(
+            [np.ones(wn + an, bool), np.zeros(pad_w, bool)]
+        )
+        # gauge: anchors are fixed AND the oldest window KF stays fixed (the
+        # anchors' shared-observation counts can be weak — a handful of
+        # low-parallax residuals is not a gauge; the oldest window KF is).
+        # KF 0 additionally fixed whenever in the window (world origin).
+        fixed = np.zeros(WTOT, bool)
+        fixed[wn : wn + an] = True
+        fixed[0] = True
+        if 0 in window:
+            fixed[np.where(window == 0)[0][0]] = True
+        # odometry chain only along the temporally-sorted window prefix
+        odo_mask = np.zeros(WTOT - 1, bool)
+        odo_mask[: wn - 1] = True
+
         if extra_ids is not None and len(extra_ids):
             base = np.concatenate([base, np.asarray(extra_ids, np.int64)])
         ids = np.unique(base)
@@ -638,6 +663,7 @@ class LocalMapper:
             jnp.asarray(lm_ids, jnp.int32),
             jnp.asarray(lm_pad_valid),
             jnp.asarray(fixed),
+            jnp.asarray(odo_mask),
             self.K,
             self.baseline,
             lm_capacity=w.lm_capacity,
@@ -699,8 +725,8 @@ class LocalMapper:
         # the kill-observation coordinates are pure host data (window slot x
         # key index in assembly order) — no device fetch needed for them
         K_keys = w.keys_per_kf
-        obs_kill_kf_host = kf_slots[np.repeat(np.arange(WINDOW), K_keys)]
-        obs_kill_key_host = np.tile(np.arange(K_keys, dtype=np.int32), WINDOW)
+        obs_kill_kf_host = kf_slots[np.repeat(np.arange(WTOT), K_keys)]
+        obs_kill_key_host = np.tile(np.arange(K_keys, dtype=np.int32), WTOT)
         obs_kill_kf = jnp.asarray(obs_kill_kf_host, jnp.int32)
         obs_kill_key = jnp.asarray(obs_kill_key_host)
         with w.update_lock:
@@ -746,8 +772,8 @@ class LocalMapper:
             )
             # host mirrors: ONE packed fetch [poses | kill | err]
             blob = np.asarray(pending["host_pack"])
-            new_poses = blob[: WINDOW * 16].reshape(WINDOW, 4, 4)
-            kill_host = blob[WINDOW * 16 : WINDOW * 16 + WINDOW * K_keys] > 0.5
+            new_poses = blob[: WTOT * 16].reshape(WTOT, 4, 4)
+            kill_host = blob[WTOT * 16 : WTOT * 16 + WTOT * K_keys] > 0.5
             err = float(blob[-1])
             for i, (slot, v) in enumerate(zip(kf_slots, kf_valid)):
                 if v:

@@ -80,6 +80,9 @@ class TrackerParams:
     ratio: float = 0.8
     min_inliers: int = 50
     kf_min_stereo: int = 80
+    kf_min_mono: int = 80  # mono KF trigger: few tracked mono landmarks
+    #                        (reference 1470-1484 fires on a low mono MP
+    #                        count; its own knob, not kf_min_stereo reused)
     kf_every: int = 5
     kf_tracked_ratio: float = 0.9
     kf_tracked_ratio_many: float = 0.7
@@ -264,7 +267,7 @@ def _track_step(
             [keys.xy[safe, 0], keys.xy[safe, 1], st["est_right_x"][safe]], axis=-1
         )
         is_stereo = matched & st["matched"][safe]
-        w = extract.inv_sigma2(keys.octave[safe], n_levels)
+        w = extract.inv_sigma2(keys.octave[safe], n_levels, sc)
         if not has_imu:
             # MULTI-START: solve from the constant-velocity prediction AND
             # from the previous frame's (unextrapolated) pose, keep the
@@ -1212,7 +1215,7 @@ class MonoTracker(StereoTracker):
         )
         saw_last_kf = frame_idx - self.last_kf_frame > p.pipeline_depth
         return (
-            (saw_last_kf and n_inl < p.kf_min_stereo)
+            (saw_last_kf and n_inl < p.kf_min_mono)
             or (
                 frame_idx - self.last_kf_frame >= p.kf_every
                 and n_inl < ratio_thr * max(self.last_kf_tracked, 1)

@@ -135,7 +135,6 @@ def _assemble(p: BAProblem):
     Jp = Jp * free[p.obs_kf][:, None, None]
 
     Hpp = jnp.zeros((W, W, 6, 6))
-    Hll = jnp.einsum("oik,oil->okl", Jl, Jl)  # summed later by scatter
     Hll = jnp.zeros((L, 3, 3)).at[p.obs_lm].add(
         jnp.einsum("oik,oil->okl", Jl, Jl)
     )

@@ -76,52 +76,89 @@ class SyntheticScene:
     imu: np.ndarray  # (M, 7) [t, gyro, accel] exact body-frame samples
     imu_hz: float
 
-    # physical half-size of a patch in meters: patches render perspective-
-    # correct (pixel size ~ f*S/z), so their TEXTURE is a consistent set of
-    # 3D points on a small fronto-parallel plane — corners detected anywhere
-    # on a patch triangulate consistently across views, like real scenes.
+    # physical FULL width of a patch in meters. Each patch is a textured 3D
+    # plane with FIXED world orientation (facing -z, the camera's initial
+    # viewing direction), rendered by exact per-pixel ray-plane
+    # intersection (a homography). Every texture element — hence every FAST
+    # corner the extractor finds on it — is a static 3D point observed
+    # consistently (subpixel) across all views, like a real rigid scene.
+    # (Earlier image-space splatting re-aligned the texture to each view's
+    # pixel grid, which made off-center corners MOVE in 3D as the camera
+    # yawed, and integer-rounded centers injected +-0.5 px per-frame jitter
+    # = 0.2-1.8 m of stereo depth noise at z=5-10 m.)
     patch_phys: float = 0.35
 
     def render(self, frame: int, right: bool = False) -> np.ndarray:
-        """Render one grayscale view by splatting depth-scaled patches at
-        projected locations. Nearest points drawn last (painter)."""
+        """Render one grayscale view: per-pixel ray / patch-plane
+        intersection with bilinear texture sampling. Painter order (far
+        first) resolves occlusion."""
         T_wc = self.poses_c2w[frame].copy()
         if right:
             T_wc[:3, 3] += T_wc[:3, :3] @ np.array([self.baseline, 0, 0])
+        R_wc = T_wc[:3, :3]
+        o_w = T_wc[:3, 3]
         T_cw = np.linalg.inv(T_wc)
         pc = (T_cw[:3, :3] @ self.points_w.T).T + T_cw[:3, 3]
         z = pc[:, 2]
-        u = self.K[0, 0] * pc[:, 0] / np.maximum(z, 1e-6) + self.K[0, 2]
-        v = self.K[1, 1] * pc[:, 1] / np.maximum(z, 1e-6) + self.K[1, 2]
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        u = fx * pc[:, 0] / np.maximum(z, 1e-6) + cx
+        v = fy * pc[:, 1] / np.maximum(z, 1e-6) + cy
         img = np.full((self.height, self.width), 15.0, dtype=np.float32)
         S = self.patches.shape[1]
-        fx = self.K[0, 0]
         W, H = self.width, self.height
+        half = 0.5 * self.patch_phys
+        # patch plane basis, fixed in world: e_x = +x, e_y = +y, normal -z
         order = np.argsort(-z)  # far first
         for i in order:
             if z[i] < 0.3:
                 continue
-            side = int(round(fx * self.patch_phys / z[i]))
-            side = max(7, min(side, 121)) | 1  # odd, bounded
-            h = side // 2
-            ui, vi = int(round(u[i])), int(round(v[i]))
-            if ui + h < 0 or ui - h >= W or vi + h < 0 or vi - h >= H:
+            # conservative bounding box around the projection
+            side = fx * self.patch_phys / z[i]
+            if side < 5:
                 continue
-            # bilinear resample of the patch texture to `side` (stable
-            # descriptors under scale change; nearest-neighbor aliases)
-            t = (np.arange(side) + 0.5) * S / side - 0.5
-            t0 = np.clip(np.floor(t).astype(int), 0, S - 1)
-            t1 = np.minimum(t0 + 1, S - 1)
-            a = (t - t0).astype(np.float32)
+            hpx = int(side * 0.75) + 2
+            x0 = max(int(np.floor(u[i])) - hpx, 0)
+            x1 = min(int(np.floor(u[i])) + hpx + 1, W)
+            y0 = max(int(np.floor(v[i])) - hpx, 0)
+            y1 = min(int(np.floor(v[i])) + hpx + 1, H)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            xs = np.arange(x0, x1, dtype=np.float32)
+            ys = np.arange(y0, y1, dtype=np.float32)
+            gx, gy = np.meshgrid(xs, ys)
+            # world ray through each pixel center
+            d_c = np.stack(
+                [(gx - cx) / fx, (gy - cy) / fy, np.ones_like(gx)], axis=-1
+            )
+            d_w = d_c @ R_wc.T  # (h, w, 3)
+            c_w = self.points_w[i]
+            # plane: n = (0,0,-1); n . (o + t d - c) = 0 -> t = (c_z - o_z) / d_z
+            dz = d_w[..., 2]
+            t = (c_w[2] - o_w[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+            p_w = o_w[None, None, :] + t[..., None] * d_w
+            lx = (p_w[..., 0] - c_w[0]) / half  # in-plane coords in [-1, 1]
+            ly = (p_w[..., 1] - c_w[1]) / half
+            hit = (t > 0.3) & (np.abs(lx) <= 1.0) & (np.abs(ly) <= 1.0)
+            if not hit.any():
+                continue
+            tx = np.clip((lx + 1.0) * 0.5 * (S - 1), 0, S - 1)
+            ty = np.clip((ly + 1.0) * 0.5 * (S - 1), 0, S - 1)
+            xi0 = np.floor(tx).astype(int)
+            yi0 = np.floor(ty).astype(int)
+            xi1 = np.minimum(xi0 + 1, S - 1)
+            yi1 = np.minimum(yi0 + 1, S - 1)
+            ax = (tx - xi0).astype(np.float32)
+            ay = (ty - yi0).astype(np.float32)
             P = self.patches[i]
-            row0 = P[t0][:, t0] * (1 - a)[None, :] + P[t0][:, t1] * a[None, :]
-            row1 = P[t1][:, t0] * (1 - a)[None, :] + P[t1][:, t1] * a[None, :]
-            pp = row0 * (1 - a)[:, None] + row1 * a[:, None]
-            y0, y1 = max(vi - h, 0), min(vi + h + 1, H)
-            x0, x1 = max(ui - h, 0), min(ui + h + 1, W)
-            img[y0:y1, x0:x1] = pp[
-                y0 - (vi - h) : y1 - (vi - h), x0 - (ui - h) : x1 - (ui - h)
-            ]
+            val = (
+                P[yi0, xi0] * (1 - ax) * (1 - ay)
+                + P[yi0, xi1] * ax * (1 - ay)
+                + P[yi1, xi0] * (1 - ax) * ay
+                + P[yi1, xi1] * ax * ay
+            )
+            sub = img[y0:y1, x0:x1]
+            img[y0:y1, x0:x1] = np.where(hit, val, sub)
         return img
 
     def project_points(self, frame: int, right: bool = False):
