@@ -61,21 +61,24 @@ def main():
     # device queue at the KF and its result blobs are consumed one frame
     # later, when their host copies have landed — tracking never blocks on
     # BA latency and no host thread fights the GIL
-    pending_ba = [None]
+    pending_ba = [None, -10]  # (handle, dispatch frame)
+    BA_LATENCY = 2  # frames to let the async chain age before the fetch
 
-    def consume_ba():
-        if pending_ba[0] is not None:
+    def consume_ba(f, force=False):
+        if pending_ba[0] is not None and (force or f - pending_ba[1] >= BA_LATENCY):
             r = mapper.finish(pending_ba[0])
             pending_ba[0] = None
             trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
             trk.add_active(r["new_lm_ids"])
 
     def step(f):
-        consume_ba()
+        consume_ba(f)
         n_kf = len(trk.new_kf_slots)
         trk.track(*frames[f])
         if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
+            consume_ba(f, force=True)  # at most one BA in flight
             pending_ba[0] = mapper.run_async(trk.new_kf_slots[-1])
+            pending_ba[1] = f
 
     warmup = 12
     for f in range(warmup):
@@ -94,7 +97,7 @@ def main():
     for f in range(warmup, n_frames):
         step(f)
     trk.flush()
-    consume_ba()
+    consume_ba(n_frames, force=True)
     dt = time.perf_counter() - t0
     fps = (n_frames - warmup) / dt
 

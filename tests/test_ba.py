@@ -65,6 +65,7 @@ def _build_problem(W=6, L=96, noise_pose=0.02, noise_pt=0.05, seed=0, O=None):
         obs_lm=jnp.asarray(obs_lm),
         obs_uv=jnp.asarray(obs_uv),
         obs_stereo=jnp.asarray(obs_st),
+        obs_right=jnp.zeros(len(obs_kf), dtype=bool),
         obs_w=jnp.ones(len(obs_kf), jnp.float32),
         obs_valid=jnp.ones(len(obs_kf), dtype=bool),
         K=jnp.asarray(K),

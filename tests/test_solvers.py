@@ -48,7 +48,7 @@ def test_motion_only_ba_recovers_pose():
     )
     is_stereo = np.zeros(m, bool)
     is_stereo[::2] = True  # half stereo, half mono
-    T_opt, chi2, inl, res = lm.motion_only_ba(
+    T_opt, chi2, inl, st_out, res = lm.motion_only_ba(
         jnp.asarray(T_init),
         jnp.asarray(pts),
         jnp.asarray(obs),
@@ -76,7 +76,7 @@ def test_motion_only_ba_flags_outliers_and_right_cam():
     is_right[1::5] = True
     # right-cam observations observe u_r in column 0
     obs[is_right, 0] = obs[is_right, 2]
-    T_opt, chi2, inl, _ = lm.motion_only_ba(
+    T_opt, chi2, inl, st_out, _ = lm.motion_only_ba(
         jnp.asarray(T_gt, jnp.float32),  # start near gt; outliers must not drag it off
         jnp.asarray(pts),
         jnp.asarray(obs),
@@ -241,3 +241,36 @@ def test_combined_residual_zero_at_truth():
     args["v_w_j"] = args["v_w_j"] + 0.5
     r2 = np.asarray(imu.combined_residual(**args))
     assert np.abs(r2).max() > 50.0
+
+
+def test_stereo_to_mono_demotion():
+    """A close stereo observation whose right-x row is corrupt but whose
+    left projection is good must be DEMOTED to a mono observation, not
+    discarded (reference findOutliersR, src/FeatureTracker.cpp:582-649)."""
+    rng, pts, T_gt = _random_problem(seed=9)
+    m = len(pts)
+    obs = _make_obs(T_gt, pts, noise=0.2, rng=rng)
+    is_stereo = np.ones(m, bool)
+    # corrupt ONLY the right-x of a few stereo observations
+    bad_r = rng.choice(m, 6, replace=False)
+    obs[bad_r, 2] += 15.0
+    T_opt, chi2, inl, st_out, _ = lm.motion_only_ba(
+        jnp.asarray(T_gt, jnp.float32),
+        jnp.asarray(pts),
+        jnp.asarray(obs),
+        jnp.ones(m, jnp.float32),
+        jnp.asarray(is_stereo),
+        jnp.zeros(m, bool),
+        jnp.ones(m, bool),
+        jnp.asarray(K),
+        jnp.float32(BASELINE),
+    )
+    inl = np.asarray(inl)
+    st_out = np.asarray(st_out)
+    # corrupted-right observations survive as mono inliers
+    assert inl[bad_r].all(), "demotable observations were discarded"
+    assert (~st_out[bad_r]).all(), "corrupt right-x rows were not demoted"
+    good = np.setdiff1d(np.arange(m), bad_r)
+    assert st_out[good].mean() > 0.95
+    err = np.asarray(se3.se3_logmap(jnp.asarray(np.linalg.inv(T_gt)) @ T_opt))
+    assert np.abs(err).max() < 0.05

@@ -174,6 +174,27 @@ def test_mono_imu_tracking_follows_ground_truth(scene, small_params):
     assert ate < 0.15, ate
 
 
+def test_right_camera_observations_recorded(scene, small_params):
+    """The live tracker matches landmarks that left the left image (or its
+    left-match failed) against the RIGHT image at pred_r and records them as
+    right-camera observations (reference predR path,
+    src/FeatureMatcher.cpp:254-389 at 310, src/FeatureTracker.cpp:274-287,
+    right branch of local BA src/OptimizationBA.cpp:592-740)."""
+    n = 12
+    trk, _ = _run_tracking(scene, small_params, n, with_ba=True)
+    w = trk.world
+    tbl = w.kf_obs_r_lm[: w.n_keyframes]
+    n_right = int((tbl >= 0).sum())
+    assert n_right > 0, "no right-camera observations were ever recorded"
+    # recorded ids reference valid landmarks
+    ids = tbl[tbl >= 0]
+    valid = np.asarray(w.arrays.lm_valid)
+    assert valid[ids].all()
+    # and the device right-obs table agrees with the host mirror
+    dev = np.asarray(w.arrays.obs_r_lm)[: w.n_keyframes]
+    np.testing.assert_array_equal(dev, tbl.astype(np.int32))
+
+
 def test_multiview_triangulation_creates_accurate_landmarks(scene, small_params):
     """The local mapper's findNewPoints analog must spawn multi-view
     landmarks that land near true scene points (reference

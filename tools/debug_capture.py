@@ -80,7 +80,7 @@ def main():
             )
             is_st = matched & st["matched"][safe]
             w = extract.inv_sigma2(kl.octave[safe], 8)
-            T_opt, chi2, inl, res = lm.motion_only_ba(
+            T_opt, chi2, inl, _st, res = lm.motion_only_ba(
                 jnp.asarray(T_base), active["pos"], obs, w, is_st,
                 jnp.zeros_like(matched), matched, K, jnp.float32(scene.baseline),
             )

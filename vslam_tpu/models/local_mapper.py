@@ -81,21 +81,42 @@ def _assemble_device(
     obs_stereo = m.obs_stereo[kf_slots].reshape(-1)
     obs_w = jnp.sqrt(extract.inv_sigma2(obs_oct, n_levels, scale))
 
+    # right-camera-only observation rows appended after the left rows
+    # (reference right-branch projection factors,
+    # src/OptimizationBA.cpp:592-740)
+    Kr = m.obs_r_lm.shape[1]
+    obs_kf_r = jnp.repeat(jnp.arange(Wb, dtype=jnp.int32), Kr)
+    flat_r = m.obs_r_lm[kf_slots].reshape(-1)
+    row_ok_r = jnp.repeat(kf_valid, Kr)
+    local_r = jnp.clip(
+        jnp.searchsorted(lm_ids, jnp.maximum(flat_r, 0)), 0, LM_SLOTS - 1
+    )
+    hit_r = (flat_r >= 0) & (lm_ids[local_r] == flat_r) & row_ok_r
+    obs_lm_r = jnp.where(hit_r, local_r, 0).astype(jnp.int32)
+    uv_r = m.obs_r_uv[kf_slots].reshape(-1, 2)
+    obs_uv_r = jnp.concatenate([uv_r, jnp.zeros((uv_r.shape[0], 1))], axis=-1)
+    oct_r = m.obs_r_oct[kf_slots].reshape(-1)
+    obs_w_r = jnp.sqrt(extract.inv_sigma2(oct_r, n_levels, scale))
+
     odo_rel = jax.vmap(lambda a, b: se3.inverse(a) @ b)(poses[:-1], poses[1:])
     odo_valid = kf_valid[:-1] & kf_valid[1:] & odo_mask
 
+    n_left = obs_kf.shape[0]
     p = schur.BAProblem(
         poses=poses,
         fixed=fixed,
         pose_valid=kf_valid,
         pts=pts,
         pt_valid=pt_valid,
-        obs_kf=obs_kf,
-        obs_lm=obs_lm,
-        obs_uv=obs_uv,
-        obs_stereo=obs_stereo,
-        obs_w=obs_w,
-        obs_valid=hit,
+        obs_kf=jnp.concatenate([obs_kf, obs_kf_r]),
+        obs_lm=jnp.concatenate([obs_lm, obs_lm_r]),
+        obs_uv=jnp.concatenate([obs_uv, obs_uv_r]),
+        obs_stereo=jnp.concatenate(
+            [obs_stereo, jnp.zeros_like(hit_r)]
+        ),
+        obs_right=jnp.concatenate([jnp.zeros_like(hit), hit_r]),
+        obs_w=jnp.concatenate([obs_w, obs_w_r]),
+        obs_valid=jnp.concatenate([hit, hit_r]),
         K=K,
         baseline=baseline,
         odo_rel=odo_rel,
@@ -723,12 +744,15 @@ class LocalMapper:
 
         # ---- write back (snapshot scatter; reference 875-938) ----
         # the kill-observation coordinates are pure host data (window slot x
-        # key index in assembly order) — no device fetch needed for them
+        # key index in assembly order) — no device fetch needed for them.
+        # kill rows: [WTOT*K left obs | WTOT*Kr right obs]
         K_keys = w.keys_per_kf
+        Kr = w.right_obs_per_kf
+        n_left = WTOT * K_keys
         obs_kill_kf_host = kf_slots[np.repeat(np.arange(WTOT), K_keys)]
         obs_kill_key_host = np.tile(np.arange(K_keys, dtype=np.int32), WTOT)
-        obs_kill_kf = jnp.asarray(obs_kill_kf_host, jnp.int32)
-        obs_kill_key = jnp.asarray(obs_kill_key_host)
+        obs_r_kill_kf_host = kf_slots[np.repeat(np.arange(WTOT), Kr)]
+        obs_r_kill_key_host = np.tile(np.arange(Kr, dtype=np.int32), WTOT)
         with w.update_lock:
             w.arrays = map_state.writeback_ba(
                 w.arrays,
@@ -738,9 +762,12 @@ class LocalMapper:
                 lm_slots_dev,
                 p.pt_valid,
                 p2.pts,
-                obs_kill_kf,
-                obs_kill_key,
-                kill,
+                jnp.asarray(obs_kill_kf_host, jnp.int32),
+                jnp.asarray(obs_kill_key_host),
+                kill[:n_left],
+                jnp.asarray(obs_r_kill_kf_host, jnp.int32),
+                jnp.asarray(obs_r_kill_key_host),
+                kill[n_left:],
             )
         return {
             "kf_slot": kf_slot,
@@ -752,6 +779,8 @@ class LocalMapper:
             "old_pose": old_last_pose,
             "kill_kf": obs_kill_kf_host,
             "kill_key": obs_kill_key_host,
+            "kill_r_kf": obs_r_kill_kf_host,
+            "kill_r_key": obs_r_kill_key_host,
         }
 
     def finish(self, pending: dict) -> dict:
@@ -761,6 +790,8 @@ class LocalMapper:
         w = self.world
         kf_slots, kf_valid = pending["kf_slots"], pending["kf_valid"]
         K_keys = w.keys_per_kf
+        Kr = w.right_obs_per_kf
+        n_left = WTOT * K_keys
         with w.update_lock:
             # consume the triangulation blob first (its copy started before
             # the BA was dispatched, so it lands first); this also updates
@@ -773,7 +804,9 @@ class LocalMapper:
             # host mirrors: ONE packed fetch [poses | kill | err]
             blob = np.asarray(pending["host_pack"])
             new_poses = blob[: WTOT * 16].reshape(WTOT, 4, 4)
-            kill_host = blob[WTOT * 16 : WTOT * 16 + WTOT * K_keys] > 0.5
+            kill_all = blob[WTOT * 16 : WTOT * 16 + n_left + WTOT * Kr] > 0.5
+            kill_host = kill_all[:n_left]
+            kill_r_host = kill_all[n_left:]
             err = float(blob[-1])
             for i, (slot, v) in enumerate(zip(kf_slots, kf_valid)):
                 if v:
@@ -782,6 +815,10 @@ class LocalMapper:
                 kkf = pending["kill_kf"][kill_host]
                 kkey = pending["kill_key"][kill_host]
                 w.kf_obs_lm[kkf, kkey] = -1
+            if kill_r_host.any():
+                kkf = pending["kill_r_kf"][kill_r_host]
+                kkey = pending["kill_r_key"][kill_r_host]
+                w.kf_obs_r_lm[kkf, kkey] = -1
             self.ba_count += 1
 
         return {

@@ -49,10 +49,22 @@ class MapArrays:
     obs_lm: jax.Array  # (W, K) int32 landmark slot or -1
     obs_desc: jax.Array  # (W, K, 256) int8 +-1 — per-KF key descriptors
     obs_valid: jax.Array  # (W, K) bool — key slot holds a real detection
+    # RIGHT-camera-only observations (landmarks matched in the right image
+    # at predR but unmatched in the left — left-border exits, left
+    # occlusions; reference MapPoint::predR + the right-branch projection
+    # factors, include/Map.h:57, src/OptimizationBA.cpp:592-740)
+    obs_r_uv: jax.Array  # (W, Kr, 2) f32 [u_r, v_r]
+    obs_r_oct: jax.Array  # (W, Kr) int32
+    obs_r_lm: jax.Array  # (W, Kr) int32 landmark slot or -1
 
 
-def make_map(lm_capacity: int = 1 << 16, kf_capacity: int = 512, keys_per_kf: int = 2048) -> MapArrays:
-    P, W, K = lm_capacity, kf_capacity, keys_per_kf
+def make_map(
+    lm_capacity: int = 1 << 16,
+    kf_capacity: int = 512,
+    keys_per_kf: int = 2048,
+    right_obs_per_kf: int = 256,
+) -> MapArrays:
+    P, W, K, Kr = lm_capacity, kf_capacity, keys_per_kf, right_obs_per_kf
     return MapArrays(
         lm_pos=jnp.zeros((P, 3), jnp.float32),
         lm_desc=jnp.zeros((P, 256), jnp.int8),
@@ -67,6 +79,9 @@ def make_map(lm_capacity: int = 1 << 16, kf_capacity: int = 512, keys_per_kf: in
         obs_lm=jnp.full((W, K), -1, jnp.int32),
         obs_desc=jnp.zeros((W, K, 256), jnp.int8),
         obs_valid=jnp.zeros((W, K), bool),
+        obs_r_uv=jnp.zeros((W, Kr, 2), jnp.float32),
+        obs_r_oct=jnp.zeros((W, Kr), jnp.int32),
+        obs_r_lm=jnp.full((W, Kr), -1, jnp.int32),
     )
 
 
@@ -117,6 +132,9 @@ def scatter_keyframe(
     obs_lm: jax.Array,  # (K,) landmark slot or -1
     obs_desc: jax.Array,  # (K, 256) int8
     obs_valid: jax.Array,  # (K,) bool
+    obs_r_uv: jax.Array,  # (Kr, 2) right-camera pixel obs
+    obs_r_oct: jax.Array,  # (Kr,)
+    obs_r_lm: jax.Array,  # (Kr,) landmark slot or -1
 ) -> MapArrays:
     return dataclasses.replace(
         m,
@@ -128,6 +146,9 @@ def scatter_keyframe(
         obs_lm=m.obs_lm.at[kf_slot].set(obs_lm),
         obs_desc=m.obs_desc.at[kf_slot].set(obs_desc),
         obs_valid=m.obs_valid.at[kf_slot].set(obs_valid),
+        obs_r_uv=m.obs_r_uv.at[kf_slot].set(obs_r_uv),
+        obs_r_oct=m.obs_r_oct.at[kf_slot].set(obs_r_oct),
+        obs_r_lm=m.obs_r_lm.at[kf_slot].set(obs_r_lm),
     )
 
 
@@ -143,10 +164,14 @@ def writeback_ba(
     obs_kill_kf: jax.Array,  # (Ob,) int32 kf slot of observations to sever
     obs_kill_key: jax.Array,  # (Ob,) int32 key slot
     obs_kill: jax.Array,  # (Ob,) bool
+    obs_r_kill_kf: jax.Array,  # (Obr,) int32 — right-obs rows to sever
+    obs_r_kill_key: jax.Array,  # (Obr,) int32
+    obs_r_kill: jax.Array,  # (Obr,) bool
 ) -> MapArrays:
     """Apply local-BA results under snapshot semantics (replaces the
     write-back under mapMutex at reference src/OptimizationBA.cpp:875-938):
-    set optimized KF poses and landmark positions, sever wrong matches."""
+    set optimized KF poses and landmark positions, sever wrong matches
+    (left and right observation tables)."""
     kf_pose = m.kf_pose.at[jnp.where(kf_valid, kf_slots, m.kf_pose.shape[0] - 1)].set(
         jnp.where(kf_valid[:, None, None], new_poses, m.kf_pose[kf_slots])
     )
@@ -158,7 +183,14 @@ def writeback_ba(
     obs_lm = m.obs_lm.at[kk, kc].set(
         jnp.where(obs_kill, -1, m.obs_lm[kk, kc])
     )
-    return dataclasses.replace(m, kf_pose=kf_pose, lm_pos=lm_pos, obs_lm=obs_lm)
+    rkk = jnp.where(obs_r_kill, obs_r_kill_kf, m.obs_r_lm.shape[0] - 1)
+    rkc = jnp.where(obs_r_kill, obs_r_kill_key, 0)
+    obs_r_lm = m.obs_r_lm.at[rkk, rkc].set(
+        jnp.where(obs_r_kill, -1, m.obs_r_lm[rkk, rkc])
+    )
+    return dataclasses.replace(
+        m, kf_pose=kf_pose, lm_pos=lm_pos, obs_lm=obs_lm, obs_r_lm=obs_r_lm
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -185,11 +217,12 @@ class WorldMap:
     covisibility graph, src/Map.cpp:295-300, src/KeyFrame.cpp:103-145).
     """
 
-    def __init__(self, lm_capacity=1 << 16, kf_capacity=512, keys_per_kf=2048):
-        self.arrays = make_map(lm_capacity, kf_capacity, keys_per_kf)
+    def __init__(self, lm_capacity=1 << 16, kf_capacity=512, keys_per_kf=2048, right_obs_per_kf=256):
+        self.arrays = make_map(lm_capacity, kf_capacity, keys_per_kf, right_obs_per_kf)
         self.lm_capacity = lm_capacity
         self.kf_capacity = kf_capacity
         self.keys_per_kf = keys_per_kf
+        self.right_obs_per_kf = right_obs_per_kf
         self.n_landmarks = 0
         self.n_keyframes = 0
         self._alloc_lock = threading.Lock()
@@ -200,6 +233,7 @@ class WorldMap:
         self.update_lock = threading.RLock()
         # host mirrors
         self.kf_obs_lm = np.full((kf_capacity, keys_per_kf), -1, np.int64)
+        self.kf_obs_r_lm = np.full((kf_capacity, right_obs_per_kf), -1, np.int64)
         self.kf_frame_idx = np.full(kf_capacity, -1, np.int64)
         self.kf_poses_host = np.tile(np.eye(4, dtype=np.float32), (kf_capacity, 1, 1))
         self.lm_first_kf = np.full(lm_capacity, -1, np.int64)

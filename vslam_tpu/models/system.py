@@ -108,6 +108,13 @@ class VSlamSystem:
 
         self._async = async_ba
         self._pending_ba: dict | None = None
+        self._ba_dispatch_frame = -1
+        self._frame_count = 0
+        # frames to let an async BA age before its (blocking) consume: the
+        # full device chain takes ~2 frame-times on a tunneled TPU, so
+        # consuming at the next frame would block ~half of it; at 2+ frames
+        # the result copies have landed and finish() costs ~1 ms
+        self.ba_latency_frames = 2
 
     # ------------------------------------------------------------------
     def _rectify(self, left, right):
@@ -117,14 +124,19 @@ class VSlamSystem:
         R = cam.remap_bilinear(jnp.asarray(right, jnp.float32), self._maps[1])
         return np.asarray(L), np.asarray(R)
 
-    def _consume_ba_results(self):
-        """Finish the in-flight local-BA dispatch, if any. The device ran
-        (or is running) the whole pipeline since run_async; by the time the
-        next frame reaches here its result copies have landed, so this
-        costs ~no blocking (the reference gets the same overlap from its
-        LocalMapper thread, src/System.cpp:18-19 — here the device queue IS
-        the second thread, without fighting the host GIL)."""
+    def _consume_ba_results(self, force: bool = False):
+        """Finish the in-flight local-BA dispatch, if any. The device runs
+        the whole pipeline asynchronously after run_async; the consume is
+        deferred `ba_latency_frames` frames so the result copies have
+        landed and the fetch costs ~1 ms instead of blocking mid-chain
+        (the reference gets the same overlap from its LocalMapper thread,
+        src/System.cpp:18-19 — here the device queue IS the second thread,
+        without fighting the host GIL)."""
         if self._pending_ba is None:
+            return
+        if not force and (
+            self._frame_count - self._ba_dispatch_frame < self.ba_latency_frames
+        ):
             return
         r = self.mapper.finish(self._pending_ba)
         self._pending_ba = None
@@ -191,12 +203,15 @@ class VSlamSystem:
         return pose
 
     def _dispatch_ba(self, n_kf_before: int, mono: bool):
+        self._frame_count += 1
         if len(self.tracker.new_kf_slots) > n_kf_before:
             slot = self.tracker.new_kf_slots[-1]
             if slot > 0:  # BA needs at least 2 KFs
                 if self._async:
-                    self._consume_ba_results()  # at most one BA in flight
+                    # at most one BA in flight
+                    self._consume_ba_results(force=True)
                     self._pending_ba = self.mapper.run_async(slot, mono=mono)
+                    self._ba_dispatch_frame = self._frame_count
                 else:
                     r = self.mapper.run(slot, mono=mono)
                     self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
@@ -207,7 +222,7 @@ class VSlamSystem:
         ExitSystem is an empty stub, src/System.cpp:67-70 — here it actually
         finishes the outstanding work)."""
         self.tracker.flush()
-        self._consume_ba_results()
+        self._consume_ba_results(force=True)
 
     # ------------------------------------------------------------------
     def trajectory(self) -> np.ndarray:

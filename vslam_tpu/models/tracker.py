@@ -233,8 +233,15 @@ def _track_step(
         )
         T_pred = jnp.where(pre.dt > 0, T_pred_wb @ T_bc, T_pred)
 
-    def attempt(T_base, v_base, b_base, radius):
-        """Projection matching at `radius` + motion-only LM from T_base."""
+    def attempt(T_base, v_base, b_base, radius, do_right=True):
+        """Projection matching at `radius` + motion-only LM from T_base.
+        Landmarks unmatched in the left image but projecting into the right
+        are matched against the right keys at pred_r (reference predR path,
+        src/FeatureMatcher.cpp:310, src/FeatureTracker.cpp:274-287) and
+        contribute right-camera projection residuals. Right matching runs
+        only in the refine pass (do_right) — the adaptive-radius retry loop
+        needs only the left inlier count, and the reference too matches
+        right once per frame after the pose is stable."""
         proj = project_match.predict_and_cull(
             T_base,
             active["pos"],
@@ -262,12 +269,47 @@ def _track_step(
             ratio,
         )
         matched = midx >= 0
+        A_ = midx.shape[0]
+        if not mono and do_right:
+            midx_r, _ = project_match.match_by_projection(
+                proj["pred_r"],
+                proj["pred_oct"],
+                active["desc"],
+                active["valid"] & proj["in_r"] & ~matched,
+                kr.xy,
+                kr.octave,
+                kr.desc,
+                kr.valid,
+                radius,
+                scale_factors,
+                desc_thr,
+                ratio,
+            )
+        else:
+            midx_r = jnp.full((A_,), -1, jnp.int32)
+        matched_r = midx_r >= 0
         safe = jnp.where(matched, midx, 0)
-        obs = jnp.stack(
+        obs_l = jnp.stack(
             [keys.xy[safe, 0], keys.xy[safe, 1], st["est_right_x"][safe]], axis=-1
         )
-        is_stereo = matched & st["matched"][safe]
-        w = extract.inv_sigma2(keys.octave[safe], n_levels, sc)
+        if not mono and do_right:
+            safe_r = jnp.where(matched_r, midx_r, 0)
+            obs_r3 = jnp.stack(
+                [kr.xy[safe_r, 0], kr.xy[safe_r, 1], jnp.full((A_,), -1.0)],
+                axis=-1,
+            )
+            obs = jnp.where(matched_r[:, None], obs_r3, obs_l)
+            oct_obs = jnp.where(matched_r, kr.octave[safe_r], keys.octave[safe])
+            r_uv = kr.xy[safe_r]
+            r_oct = kr.octave[safe_r]
+        else:
+            obs = obs_l
+            oct_obs = keys.octave[safe]
+            r_uv = jnp.zeros((A_, 2), jnp.float32)
+            r_oct = jnp.zeros((A_,), jnp.int32)
+        matched = matched | matched_r
+        is_stereo = (midx >= 0) & st["matched"][safe]
+        w = extract.inv_sigma2(oct_obs, n_levels, sc)
         if not has_imu:
             # MULTI-START: solve from the constant-velocity prediction AND
             # from the previous frame's (unextrapolated) pose, keep the
@@ -285,7 +327,7 @@ def _track_step(
                     obs,
                     w,
                     is_stereo,
-                    jnp.zeros_like(matched),
+                    matched_r,
                     matched,
                     K,
                     baseline,
@@ -296,7 +338,7 @@ def _track_step(
             # pose): the while_loop iterations of the two solves run in
             # lockstep lanes, so the serial depth is max(iters_a, iters_b)
             # instead of their sum
-            Ts, chi2s, inls, rs = jax.vmap(solve_from)(
+            Ts, chi2s, inls, sts, rs = jax.vmap(solve_from)(
                 jnp.stack([T_base, pose_prev])
             )
             na, nb = jnp.sum(inls[0]), jnp.sum(inls[1])
@@ -304,9 +346,10 @@ def _track_step(
             T_opt = jnp.where(use_b, Ts[1], Ts[0])
             chi2 = jnp.where(use_b, chi2s[1], chi2s[0])
             inl = jnp.where(use_b, inls[1], inls[0])
+            st_out = jnp.where(use_b, sts[1], sts[0])
             v_opt, b_opt = v_base, b_base
         else:
-            T_opt, v_opt, b_opt, chi2, inl, _ = lm.motion_only_ba_imu(
+            T_opt, v_opt, b_opt, chi2, inl, st_out, _ = lm.motion_only_ba_imu(
                 T_base,
                 v_base,
                 bias_prev,
@@ -320,7 +363,7 @@ def _track_step(
                 obs,
                 w,
                 is_stereo,
-                jnp.zeros_like(matched),
+                matched_r,
                 matched,
                 K,
                 baseline,
@@ -335,9 +378,13 @@ def _track_step(
             inliers,
             jnp.sum(matched),
             jnp.sum(inliers),
-            jnp.sum(is_stereo & inliers),
-            active["valid"] & proj["in_l"],
+            jnp.sum(st_out & inliers),
+            active["valid"] & (proj["in_l"] | proj["in_r"]),
             proj["pred_l"],
+            midx_r,
+            st_out,
+            r_uv,
+            r_oct,
         )
 
     A = active["pos"].shape[0]
@@ -363,17 +410,18 @@ def _track_step(
 
     def body(c):
         i = c[0]
-        T_opt, v_opt, b_opt, midx, inliers, n_m, n_i, n_st, _, _ = attempt(
-            T_pred, v0, b0, radii[i]
-        )
+        T_opt, v_opt, b_opt, midx, inliers, n_m, n_i, n_st = attempt(
+            T_pred, v0, b0, radii[i], do_right=False
+        )[:8]
         return (i + 1, T_opt, v_opt, b_opt, midx, inliers, n_m, n_i, n_st)
 
     _, T_opt, v_opt, b_opt, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
 
     # refine pass at the small radius from the optimized pose
-    T_opt, v_opt, b_opt, midx, inliers, n_m, n_i, n_st, in_frame, lm_pred = attempt(
-        T_opt, v_opt, b_opt, refine_radius
-    )
+    (
+        T_opt, v_opt, b_opt, midx, inliers, n_m, n_i, n_st, in_frame,
+        lm_pred, midx_r, st_flags, r_uv, r_oct,
+    ) = attempt(T_opt, v_opt, b_opt, refine_radius)
 
     # outlier aging: only landmarks that projected into this frame but were
     # not matched accrue age (reference setActiveOutliers, 1016-1034)
@@ -417,13 +465,18 @@ def _track_step(
         "midx": midx,
         "inliers": inliers,
         "in_frame": in_frame,
+        "midx_r": midx_r,
+        "st_flags": st_flags,
+        "r_uv": r_uv,
+        "r_oct": r_oct,
         "blob": blob,
     }
     return new_state, outputs
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spawn", "n_levels", "scale", "width", "height")
+    jax.jit,
+    static_argnames=("spawn", "n_levels", "scale", "width", "height", "n_right"),
 )
 def _prepare_keyframe(
     T_kf,
@@ -441,12 +494,18 @@ def _prepare_keyframe(
     sup_ids,  # (A,) CURRENT active landmark ids incl. the last KF's spawns
     lm_pred,  # (A, 2) the tracked frame's own predicted landmark pixels
     lm_in_frame,  # (A,) bool — in-frame mask for lm_pred
+    match_r_idx,  # (A,) per-landmark RIGHT-image key index or -1
+    r_uv,  # (A, 2) right-image pixel of the matched right key
+    r_oct,  # (A,) its octave
+    lm_stereo,  # (A,) final stereo flag after the solver's stereo->mono
+    #              demotion (reference findOutliersR) — False for demoted
     K,
     spawn: int,
     n_levels: int,
     scale: float,
     width: int,
     height: int,
+    n_right: int,
 ):
     """Build the KF observation table + spawn new close-stereo landmarks
     (reference insertKeyFrame, src/FeatureTracker.cpp:743-842)."""
@@ -458,6 +517,18 @@ def _prepare_keyframe(
     key_lm = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].set(
         jnp.where(ok, active_ids, -1)
     )[:N]
+    # demotion-aware per-key stereo flags: a key whose matched landmark had
+    # its right-x row demoted records a MONO observation here
+    clear_st = jnp.zeros((N + 1,), bool).at[tgt].set(ok & ~lm_stereo)[:N]
+
+    # right-camera-only observations, compacted to the Kr-slot table
+    ok_r = (match_r_idx >= 0) & inliers
+    order_r = jnp.argsort(~ok_r)
+    take_r = order_r[:n_right]
+    take_r_ok = ok_r[take_r]
+    obs_r_lm = jnp.where(take_r_ok, active_ids[take_r], -1).astype(jnp.int32)
+    obs_r_uv = jnp.where(take_r_ok[:, None], r_uv[take_r], 0.0)
+    obs_r_oct = jnp.where(take_r_ok, r_oct[take_r], 0)
 
     # spawn candidates: close stereo keys not matched to a landmark AND not
     # within the suppression radius of any existing active landmark
@@ -541,19 +612,24 @@ def _prepare_keyframe(
         "refresh_desc": desc_src,
         "obs_uv": obs_uv,
         "obs_oct": keys.octave,
-        "obs_stereo": st_matched & keys.valid,
+        "obs_stereo": st_matched & keys.valid & ~clear_st,
+        "obs_r_lm": obs_r_lm,
+        "obs_r_uv": obs_r_uv,
+        "obs_r_oct": obs_r_oct,
         "spawn_pos": pw,
         "spawn_desc": new_desc,
         "spawn_maxdist": maxdist,
         "spawn_mindist": mindist,
         "spawn_valid": take_valid,
         "n_close": jnp.sum(st_close & keys.valid),
-        # single packed host fetch: [key_lm (N) | n_spawned (1)] — separate
-        # np.asarray calls each pay a full device round trip on a remote
-        # tunnel, so everything the host needs travels in one blob
+        # single packed host fetch: [key_lm (N) | obs_r_lm (Kr) |
+        # n_spawned (1)] — separate np.asarray calls each pay a full device
+        # round trip on a remote tunnel, so everything the host needs
+        # travels in one blob
         "host_blob": jnp.concatenate(
             [
                 key_lm.astype(jnp.float32),
+                obs_r_lm.astype(jnp.float32),
                 jnp.sum(take_valid).astype(jnp.float32)[None],
             ]
         ),
@@ -931,12 +1007,17 @@ class StereoTracker:
             jnp.full((p.active_size,), -1, jnp.int32),
             jnp.zeros((p.active_size, 2), jnp.float32),
             jnp.zeros((p.active_size,), bool),
+            jnp.full((p.active_size,), -1, jnp.int32),  # no right matches
+            jnp.zeros((p.active_size, 2), jnp.float32),
+            jnp.zeros((p.active_size,), jnp.int32),
+            jnp.zeros((p.active_size,), bool),
             self.K,
             spawn=p.n_features,
             n_levels=p.n_levels,
             scale=p.scale,
             width=self.width,
             height=self.height,
+            n_right=self.world.right_obs_per_kf,
         )
         n_used = self._commit_keyframe(
             kf_slot, jnp.asarray(self.pose), keys, data, spawn_dev, avail,
@@ -970,12 +1051,17 @@ class StereoTracker:
             jnp.asarray(self.active_ids, jnp.int32),
             outputs["lm_pred"],
             outputs["in_frame"],
+            outputs["midx_r"],
+            outputs["r_uv"],
+            outputs["r_oct"],
+            outputs["st_flags"],
             self.K,
             spawn=p.spawn_per_kf,
             n_levels=p.n_levels,
             scale=p.scale,
             width=self.width,
             height=self.height,
+            n_right=self.world.right_obs_per_kf,
         )
         self._commit_keyframe(
             kf_slot, T_kf_dev, keys, data, spawn_dev, avail, spawn_host,
@@ -1026,12 +1112,19 @@ class StereoTracker:
                 data["key_lm"],
                 keys.desc,
                 keys.valid,
+                data["obs_r_uv"],
+                data["obs_r_oct"],
+                data["obs_r_lm"],
             )
-            # host mirrors: ONE packed fetch [key_lm | n_spawned]
+            # host mirrors: ONE packed fetch [key_lm | obs_r_lm | n_spawned]
             blob = np.asarray(data["host_blob"])
-            key_lm_host = blob[:-1].astype(np.int64)
+            N = w.keys_per_kf
+            Kr = w.right_obs_per_kf
+            key_lm_host = blob[:N].astype(np.int64)
+            obs_r_lm_host = blob[N : N + Kr].astype(np.int64)
             n_used = int(blob[-1])
             w.kf_obs_lm[kf_slot] = key_lm_host
+            w.kf_obs_r_lm[kf_slot] = obs_r_lm_host
             w.kf_poses_host[kf_slot] = np.asarray(
                 T_kf_host if T_kf_host is not None else T_kf, np.float32
             )
@@ -1192,12 +1285,17 @@ class MonoTracker(StereoTracker):
             jnp.full((p.active_size,), -1, jnp.int32),
             jnp.zeros((p.active_size, 2), jnp.float32),
             jnp.zeros((p.active_size,), bool),
+            jnp.full((p.active_size,), -1, jnp.int32),
+            jnp.zeros((p.active_size, 2), jnp.float32),
+            jnp.zeros((p.active_size,), jnp.int32),
+            jnp.zeros((p.active_size,), bool),
             self.K,
             spawn=1,
             n_levels=p.n_levels,
             scale=p.scale,
             width=self.width,
             height=self.height,
+            n_right=self.world.right_obs_per_kf,
         )
         self._commit_keyframe(
             kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host,

@@ -180,15 +180,35 @@ def motion_only_ba(
     points from the factor graph on subsequent estimatePoseGTSAM calls in
     its retry loop, src/FeatureTracker.cpp:216-220, 1202-1233).
 
-    Returns (T_opt, chi2 (M,), inliers (M,) bool, lm_result).
+    Stereo->mono demotion (reference findOutliersR,
+    src/FeatureTracker.cpp:582-649): a close stereo observation whose
+    3-row chi2 fails ONLY because of the right-x term is demoted to a
+    mono (2-row) observation instead of discarded — the left projection
+    is still good information.
+
+    Returns (T_opt, chi2 (M,), inliers (M,) bool, is_stereo_out (M,) bool,
+    lm_result). is_stereo_out is is_stereo minus the demoted observations.
     """
     weights = jnp.sqrt(inv_sigma2)
     huber_delta = jnp.sqrt(CHI2_3DOF)  # Huber kernel at the chi2 gate
 
-    def solve(T0, mask, iters, robust):
+    def classify(T, st):
+        """(keep, st_kept): chi2 gate with stereo->mono demotion."""
+        chi2_3 = reproj_chi2(
+            T, pts_w, obs, inv_sigma2, st, is_right, valid, K, baseline
+        )
+        chi2_2 = reproj_chi2(
+            T, pts_w, obs, inv_sigma2, jnp.zeros_like(st), is_right, valid,
+            K, baseline,
+        )
+        demote = st & (chi2_3 >= CHI2_3DOF) & (chi2_2 < CHI2_3DOF)
+        keep = valid & ((chi2_3 < CHI2_3DOF) | demote)
+        return keep, st & ~demote
+
+    def solve(T0, mask, st, iters, robust):
         def residual(T):
             r = stereo_residuals(
-                T, pts_w, obs, weights, is_stereo, is_right, mask, K, baseline
+                T, pts_w, obs, weights, st, is_right, mask, K, baseline
             )
             if not robust:
                 return r.reshape(-1)
@@ -213,26 +233,24 @@ def motion_only_ba(
             max_iters=iters,
         )
 
-    res1 = lm_solve_result = solve(T_init, valid, max_iters, robust=True)
-    chi2_1 = reproj_chi2(
-        res1.state, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
-    )
-    keep = valid & (chi2_1 < CHI2_3DOF)
+    res1 = solve(T_init, valid, is_stereo, max_iters, robust=True)
+    keep, st1 = classify(res1.state, is_stereo)
     # guard: if the sweep kills nearly everything, keep the original set
     enough = jnp.sum(keep) >= jnp.maximum(jnp.sum(valid) // 4, 6)
     keep = jnp.where(enough, keep, valid)
+    st1 = jnp.where(enough, st1, is_stereo)
     # pass 2 on the gated set WITHOUT the robust kernel — reference parity
     # (GTSAM graphs at src/FeatureTracker.cpp:216-298 use plain projection
     # factors; outliers are excluded, not reweighted). Pure least squares
     # has a single basin near the optimum, where Huber on a noisy map can
     # hold init-dependent local optima.
-    result = solve(res1.state, keep, max_iters, robust=False)
+    result = solve(res1.state, keep, st1, max_iters, robust=False)
     T_opt = result.state
+    inliers, st_out = classify(T_opt, st1)
     chi2 = reproj_chi2(
-        T_opt, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
+        T_opt, pts_w, obs, inv_sigma2, st_out, is_right, valid, K, baseline
     )
-    inliers = valid & (chi2 < CHI2_3DOF)
-    return T_opt, chi2, inliers, result
+    return T_opt, chi2, inliers, st_out, result
 
 
 # ---------------------------------------------------------------------------
@@ -268,13 +286,26 @@ def motion_only_ba_imu(
     state (383-385), plus the projection/stereo factors of the no-IMU path.
 
     State is (T_wc, v_w, bias) — 6+3+6 = 15 dof, one lax.while_loop LM.
-    Returns (T_opt, v_opt, bias_opt, chi2, inliers, lm_result).
+    Returns (T_opt, v_opt, bias_opt, chi2, inliers, is_stereo_out,
+    lm_result). Stereo->mono demotion as in :func:`motion_only_ba`.
     """
     from vslam_tpu.ops import imu as imu_mod
 
     weights = jnp.sqrt(inv_sigma2)
     huber_delta = jnp.sqrt(CHI2_3DOF)
     T_cb = se3.inverse(T_bc)
+
+    def classify(T, st):
+        chi2_3 = reproj_chi2(
+            T, pts_w, obs, inv_sigma2, st, is_right, valid, K, baseline
+        )
+        chi2_2 = reproj_chi2(
+            T, pts_w, obs, inv_sigma2, jnp.zeros_like(st), is_right, valid,
+            K, baseline,
+        )
+        demote = st & (chi2_3 >= CHI2_3DOF) & (chi2_2 < CHI2_3DOF)
+        keep = valid & ((chi2_3 < CHI2_3DOF) | demote)
+        return keep, st & ~demote
 
     # propagated (predicted) state for the x1/v1 priors
     T_pred_wb = T_init @ T_cb
@@ -285,11 +316,11 @@ def motion_only_ba_imu(
         T, v, b = state
         return (se3.retract(T, d[:6]), v + d[6:9], b + d[9:15])
 
-    def solve(state0, mask, iters, robust):
+    def solve(state0, mask, st, iters, robust):
         def residual(state):
             T_wc, v_w, b = state
             r_vis = stereo_residuals(
-                T_wc, pts_w, obs, weights, is_stereo, is_right, mask, K, baseline
+                T_wc, pts_w, obs, weights, st, is_right, mask, K, baseline
             )
             if robust:
                 # IRLS Huber: weight frozen per linearization (see
@@ -319,18 +350,16 @@ def motion_only_ba_imu(
         )
 
     state0 = (T_init, v_init, bias_prev)
-    res1 = solve(state0, valid, max_iters, robust=True)
+    res1 = solve(state0, valid, is_stereo, max_iters, robust=True)
     T1, v1, b1 = res1.state
-    chi2_1 = reproj_chi2(
-        T1, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
-    )
-    keep = valid & (chi2_1 < CHI2_3DOF)
+    keep, st1 = classify(T1, is_stereo)
     enough = jnp.sum(keep) >= jnp.maximum(jnp.sum(valid) // 4, 6)
     keep = jnp.where(enough, keep, valid)
-    result = solve(res1.state, keep, max_iters, robust=False)
+    st1 = jnp.where(enough, st1, is_stereo)
+    result = solve(res1.state, keep, st1, max_iters, robust=False)
     T_opt, v_opt, b_opt = result.state
+    inliers, st_out = classify(T_opt, st1)
     chi2 = reproj_chi2(
-        T_opt, pts_w, obs, inv_sigma2, is_stereo, is_right, valid, K, baseline
+        T_opt, pts_w, obs, inv_sigma2, st_out, is_right, valid, K, baseline
     )
-    inliers = valid & (chi2 < CHI2_3DOF)
-    return T_opt, v_opt, b_opt, chi2, inliers, result
+    return T_opt, v_opt, b_opt, chi2, inliers, st_out, result

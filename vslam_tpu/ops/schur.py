@@ -45,8 +45,11 @@ class BAProblem(NamedTuple):
     pt_valid: jax.Array  # (L,) bool
     obs_kf: jax.Array  # (O,) int32 -> pose slot
     obs_lm: jax.Array  # (O,) int32 -> landmark slot
-    obs_uv: jax.Array  # (O, 3) [u_l, v_l, u_r]
+    obs_uv: jax.Array  # (O, 3) [u_l, v_l, u_r] ([u_r, v_r, -] when right)
     obs_stereo: jax.Array  # (O,) bool — has right-x row
+    obs_right: jax.Array  # (O,) bool — RIGHT-camera-only projection
+    #   (reference right-branch projection factors with the body_P_sensor
+    #   extrinsic, src/OptimizationBA.cpp:592-740)
     obs_w: jax.Array  # (O,) sqrt information (1/sigma, octave-scaled)
     obs_valid: jax.Array  # (O,) bool
     K: jax.Array  # (3, 3)
@@ -55,15 +58,19 @@ class BAProblem(NamedTuple):
     odo_valid: jax.Array  # (W-1,) bool — consecutive-KF chain links
 
 
-def _project_residual(T_wc, pt, uv, is_stereo, K, baseline):
-    """(3,) residual [du_l, dv_l, du_r] for one observation."""
+def _project_residual(T_wc, pt, uv, is_stereo, is_right, K, baseline):
+    """(3,) residual [du, dv, du_r] for one observation: left projection
+    (+ right-x row when stereo), or right-camera projection when
+    is_right."""
     T_cw = se3.inverse(T_wc)
     pc = T_cw[:3, :3] @ pt + T_cw[:3, 3]
     z = jnp.maximum(pc[2], 0.05)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    r_u = fx * pc[0] / z + cx - uv[0]
+    u_l = fx * pc[0] / z + cx
+    u_r = fx * (pc[0] - baseline) / z + cx
+    r_u = jnp.where(is_right, u_r, u_l) - uv[0]
     r_v = fy * pc[1] / z + cy - uv[1]
-    r_ur = jnp.where(is_stereo, fx * (pc[0] - baseline) / z + cx - uv[2], 0.0)
+    r_ur = jnp.where(is_stereo, u_r - uv[2], 0.0)
     behind = pc[2] <= 0.05
     return jnp.where(behind, 0.0, jnp.stack([r_u, r_v, r_ur]))
 
@@ -74,21 +81,21 @@ def _obs_residual_and_jacobians(p: BAProblem):
     T_o = p.poses[p.obs_kf]  # (O,4,4)
     pt_o = p.pts[p.obs_lm]  # (O,3)
 
-    def f(T, pt, uv, st, dpose, dpt):
+    def f(T, pt, uv, st, rt, dpose, dpt):
         return _project_residual(
-            se3.retract(T, dpose), pt + dpt, uv, st, p.K, p.baseline
+            se3.retract(T, dpose), pt + dpt, uv, st, rt, p.K, p.baseline
         )
 
     zeros6 = jnp.zeros(6, jnp.float32)
     zeros3 = jnp.zeros(3, jnp.float32)
 
-    def per_obs(T, pt, uv, st):
-        r = f(T, pt, uv, st, zeros6, zeros3)
-        Jp = jax.jacfwd(lambda d: f(T, pt, uv, st, d, zeros3))(zeros6)
-        Jl = jax.jacfwd(lambda d: f(T, pt, uv, st, zeros6, d))(zeros3)
+    def per_obs(T, pt, uv, st, rt):
+        r = f(T, pt, uv, st, rt, zeros6, zeros3)
+        Jp = jax.jacfwd(lambda d: f(T, pt, uv, st, rt, d, zeros3))(zeros6)
+        Jl = jax.jacfwd(lambda d: f(T, pt, uv, st, rt, zeros6, d))(zeros3)
         return r, Jp, Jl
 
-    r, Jp, Jl = jax.vmap(per_obs)(T_o, pt_o, p.obs_uv, p.obs_stereo)
+    r, Jp, Jl = jax.vmap(per_obs)(T_o, pt_o, p.obs_uv, p.obs_stereo, p.obs_right)
     w = jnp.where(p.obs_valid, p.obs_w, 0.0)[:, None]
     return r * w, Jp * w[..., None], Jl * w[..., None]
 
@@ -296,6 +303,8 @@ def obs_chi2(p: BAProblem) -> jax.Array:
     T_o = p.poses[p.obs_kf]
     pt_o = p.pts[p.obs_lm]
     r = jax.vmap(
-        lambda T, pt, uv, st: _project_residual(T, pt, uv, st, p.K, p.baseline)
-    )(T_o, pt_o, p.obs_uv, p.obs_stereo)
+        lambda T, pt, uv, st, rt: _project_residual(
+            T, pt, uv, st, rt, p.K, p.baseline
+        )
+    )(T_o, pt_o, p.obs_uv, p.obs_stereo, p.obs_right)
     return jnp.sum(r * r, axis=-1) * (p.obs_w**2)

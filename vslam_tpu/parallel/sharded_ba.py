@@ -85,7 +85,8 @@ def sharded_ba_iteration(mesh: Mesh):
             poses=poses, fixed=fixed, pose_valid=pose_valid,
             pts=pts_l, pt_valid=pt_valid_l,
             obs_kf=obs_kf, obs_lm=obs_lm_local, obs_uv=obs_uv,
-            obs_stereo=obs_stereo, obs_w=obs_w, obs_valid=obs_valid,
+            obs_stereo=obs_stereo, obs_right=jnp.zeros_like(obs_stereo),
+            obs_w=obs_w, obs_valid=obs_valid,
             K=Kmat, baseline=baseline, odo_rel=odo_rel, odo_valid=odo_valid,
         )
 

@@ -36,6 +36,7 @@ def save_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> None:
     blobs.update(
         {
             "host.kf_obs_lm": world.kf_obs_lm,
+            "host.kf_obs_r_lm": world.kf_obs_r_lm,
             "host.kf_frame_idx": world.kf_frame_idx,
             "host.kf_poses": world.kf_poses_host,
             "host.lm_first_kf": world.lm_first_kf,
@@ -99,6 +100,8 @@ def load_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> dict:
     }
     world.arrays = map_state.MapArrays(**kwargs)
     world.kf_obs_lm = data["host.kf_obs_lm"].copy()
+    if "host.kf_obs_r_lm" in data:
+        world.kf_obs_r_lm = data["host.kf_obs_r_lm"].copy()
     world.kf_frame_idx = data["host.kf_frame_idx"].copy()
     world.kf_poses_host = data["host.kf_poses"].copy()
     world.lm_first_kf = data["host.lm_first_kf"].copy()
