@@ -2,7 +2,9 @@
 
 SURVEY.md §4's distributed-test strategy: the single-host and N-shard BA
 must produce tolerance-identical updates, runnable without TPU pod hardware
-via the conftest's 8-device CPU mesh.
+via the conftest's 8-device CPU mesh. The sharded path here is the SAME
+kernel the live mapper runs (schur.local_ba_two_rounds with axis_name),
+so these tests cover the production distributed path, not a demo.
 """
 
 import jax
@@ -10,123 +12,124 @@ import jax.numpy as jnp
 import numpy as np
 
 from vslam_tpu.geometry import se3
+from vslam_tpu.models import local_mapper, map_state, tracker
 from vslam_tpu.ops import schur
 from vslam_tpu.parallel import mesh as mesh_mod
 from vslam_tpu.parallel import sharded_ba
+from vslam_tpu.utils import synthetic, trajectory
 
 from tests.test_ba import _build_problem
 
 N_DEV = 8
 
 
-def _shard_problem(p: schur.BAProblem, n_shards: int):
-    """Regroup a BAProblem's observations by landmark shard (local indices),
-    returning the p_args dict `sharded_local_ba` consumes."""
-    L = p.pts.shape[0]
-    perm, local, valid = sharded_ba.partition_obs(
-        np.asarray(p.obs_lm), n_shards, L, np.asarray(p.obs_valid)
-    )
-    flat = perm.reshape(-1)
-    return dict(
-        poses=p.poses,
-        fixed=p.fixed,
-        pose_valid=p.pose_valid,
-        pts=p.pts,
-        pt_valid=p.pt_valid,
-        obs_kf=jnp.asarray(np.asarray(p.obs_kf)[flat]),
-        obs_lm_local=jnp.asarray(local.reshape(-1)),
-        obs_uv=jnp.asarray(np.asarray(p.obs_uv)[flat]),
-        obs_stereo=jnp.asarray(np.asarray(p.obs_stereo)[flat]),
-        obs_w=jnp.asarray(np.asarray(p.obs_w)[flat]),
-        obs_valid=jnp.asarray(valid.reshape(-1)),
-        K=p.K,
-        baseline=p.baseline,
-        odo_rel=p.odo_rel,
-        odo_valid=p.odo_valid,
-    )
+def test_sharded_two_rounds_matches_single_device():
+    """The full 2-round sharded BA (obs rows sharded, psum-assembled
+    normal equations, slab-sharded Schur reduction) must match the
+    single-device kernel — same algorithm, different reduction order."""
+    p, poses_gt, pts_gt = _build_problem(W=8, L=128, seed=1)
+    mesh = mesh_mod.make_mesh(N_DEV, axis=sharded_ba.AXIS)
+    step = sharded_ba.sharded_two_rounds(mesh, iters1=5, iters2=10)
 
+    p_s, err_s, kill_s = sharded_ba.run_problem(step, p)
+    p_d, err_d, kill_d = schur.local_ba_two_rounds(p, iters1=5, iters2=10)
 
-def test_partition_obs_groups_by_shard():
-    rng = np.random.default_rng(0)
-    L, O, S = 64, 200, 8
-    obs_lm = rng.integers(0, L, O)
-    valid = rng.random(O) > 0.1
-    perm, local, ok = sharded_ba.partition_obs(obs_lm, S, L, valid)
-    per = L // S
-    for s in range(S):
-        sel = ok[s]
-        # every kept observation maps back to its original row and shard
-        assert (obs_lm[perm[s][sel]] // per == s).all()
-        assert (local[s][sel] == obs_lm[perm[s][sel]] % per).all()
-        assert valid[perm[s][sel]].all()
-    # every valid observation appears exactly once (no shard overflow here)
-    kept = np.concatenate([perm[s][ok[s]] for s in range(S)])
-    assert len(kept) == len(set(kept.tolist()))
-    assert len(kept) == valid.sum()
-
-
-def test_sharded_ba_matches_single_device():
-    """The 8-shard psum-assembled BA must land in the same solution as the
-    single-device Schur BA (same problem, same ground truth)."""
-    p, poses_gt, pts_gt = _build_problem(W=6, L=96, seed=1)
-    mesh = mesh_mod.make_mesh(N_DEV, axis="lm")
-    p_args = _shard_problem(p, N_DEV)
-
-    poses_s, pts_s, err_s = sharded_ba.sharded_local_ba(mesh, p_args, iters=10)
-    p1, err1, _ = schur.local_ba(p, iters=10)
-
-    # both reach the ground-truth basin
+    # same solution (both in the ground-truth basin, and mutually close)
     for w in range(len(poses_gt)):
-        xi_s = np.asarray(
-            se3.se3_logmap(jnp.asarray(np.linalg.inv(poses_gt[w]) @ np.asarray(poses_s)[w]))
-        )
-        assert np.abs(xi_s).max() < 2e-3, (w, xi_s)
-    err_pts = np.linalg.norm(np.asarray(pts_s) - pts_gt, axis=1)
-    assert np.median(err_pts) < 0.02
-
-    # and agree with each other (same minimum, modest tolerance: the two
-    # LM loops differ only in lambda bookkeeping)
-    for w in range(len(poses_gt)):
-        rel = np.linalg.inv(np.asarray(p1.poses)[w]) @ np.asarray(poses_s)[w]
+        rel = np.linalg.inv(np.asarray(p_d.poses)[w]) @ np.asarray(p_s.poses)[w]
         xi = np.asarray(se3.se3_logmap(jnp.asarray(rel)))
-        assert np.abs(xi).max() < 2e-3, (w, xi)
-
-
-def test_sharded_iteration_matches_dense_assembly():
-    """One sharded LM step == one dense-assembly LM step (numerically):
-    validates that psum over landmark shards assembles the same reduced
-    camera system as the single-device einsum."""
-    p, _, _ = _build_problem(W=4, L=64, seed=2)
-    mesh = mesh_mod.make_mesh(N_DEV, axis="lm")
-    p_args = _shard_problem(p, N_DEV)
-
-    step = sharded_ba.sharded_ba_iteration(mesh)
-    lam = jnp.float32(1e-4)
-    poses_s, pts_s, err_s = step(
-        p_args["poses"], p_args["fixed"], p_args["pose_valid"],
-        p_args["pts"], p_args["pt_valid"],
-        p_args["obs_kf"], p_args["obs_lm_local"], p_args["obs_uv"],
-        p_args["obs_stereo"], p_args["obs_w"], p_args["obs_valid"],
-        p_args["K"], p_args["baseline"], p_args["odo_rel"], p_args["odo_valid"],
-        lam,
-    )
-
-    # dense single-device step with the same fixed lambda
-    Hpp, Hll, Hpl, gp, gl = schur._assemble(p)
-    dp, dl = schur._schur_solve(p, Hpp, Hll, Hpl, gp, gl, lam)
-    poses_d = jax.vmap(se3.retract)(p.poses, dp)
-    pts_d = p.pts + dl
-    err0 = schur.ba_error(p)
-    err_d = schur.ba_error(p._replace(poses=poses_d, pts=pts_d))
-    if float(err_d) >= float(err0):  # both sides reject then
-        poses_d, pts_d = p.poses, p.pts
-
+        assert np.abs(xi).max() < 1e-3, (w, xi)
+        xi_gt = np.asarray(
+            se3.se3_logmap(
+                jnp.asarray(np.linalg.inv(poses_gt[w]) @ np.asarray(p_s.poses)[w])
+            )
+        )
+        assert np.abs(xi_gt).max() < 2e-3, (w, xi_gt)
     np.testing.assert_allclose(
-        np.asarray(poses_s), np.asarray(poses_d), rtol=1e-4, atol=1e-5
+        np.asarray(p_s.pts), np.asarray(p_d.pts), rtol=1e-3, atol=1e-3
     )
-    np.testing.assert_allclose(
-        np.asarray(pts_s), np.asarray(pts_d), rtol=1e-4, atol=1e-4
+    # kill masks agree (exact observations -> none killed on either path)
+    np.testing.assert_array_equal(np.asarray(kill_s), np.asarray(kill_d))
+    assert abs(float(err_s) - float(err_d)) <= 1e-2 * max(float(err_d), 1.0)
+
+
+def test_sharded_two_rounds_realistic_size_runs():
+    """Smoke at the LIVE problem shape (WTOT pose slots, 4096 landmark
+    slots, WTOT*(K+Kr) observation rows) — the size the mapper actually
+    dispatches, divisible by the 8-device mesh."""
+    Wb = local_mapper.WTOT
+    L = local_mapper.LM_SLOTS
+    O = Wb * (1024 + 256)
+    rng = np.random.default_rng(0)
+    p, _, _ = _build_problem(W=Wb, L=64, seed=3)
+    # expand to full shapes with masked padding
+    reps = O // len(np.asarray(p.obs_kf)) + 1
+    idx = np.tile(np.arange(len(np.asarray(p.obs_kf))), reps)[:O]
+    pts = np.zeros((L, 3), np.float32)
+    pts[:64] = np.asarray(p.pts)
+    pt_valid = np.zeros(L, bool)
+    pt_valid[:64] = True
+    p_big = p._replace(
+        pts=jnp.asarray(pts),
+        pt_valid=jnp.asarray(pt_valid),
+        obs_kf=jnp.asarray(np.asarray(p.obs_kf)[idx]),
+        obs_lm=jnp.asarray(np.asarray(p.obs_lm)[idx]),
+        obs_uv=jnp.asarray(np.asarray(p.obs_uv)[idx]),
+        obs_stereo=jnp.asarray(np.asarray(p.obs_stereo)[idx]),
+        obs_right=jnp.asarray(np.asarray(p.obs_right)[idx]),
+        obs_w=jnp.asarray(np.asarray(p.obs_w)[idx]),
+        obs_valid=jnp.asarray(np.asarray(p.obs_valid)[idx] & (idx < idx.size)),
     )
+    mesh = mesh_mod.make_mesh(N_DEV, axis=sharded_ba.AXIS)
+    step = sharded_ba.sharded_two_rounds(mesh, iters1=2, iters2=2)
+    p_s, err, kill = sharded_ba.run_problem(step, p_big)
+    assert np.isfinite(np.asarray(p_s.poses)).all()
+    assert np.isfinite(float(err))
+
+
+def test_sharded_mapper_end_to_end_matches_single_device():
+    """Full tracking+mapping loop with the SHARDED mapper vs the
+    single-device mapper: same trajectory to float-reduction tolerance
+    (VERDICT round-1 item 1's done-criterion)."""
+    scene = synthetic.make_scene(
+        n_frames=12, n_points=400, width=320, height=240, fps=10.0, seed=7
+    )
+    params = tracker.TrackerParams(
+        n_features=512, n_levels=4, active_size=1024, kf_min_stereo=60
+    )
+
+    def run(mesh):
+        world = map_state.WorldMap(
+            lm_capacity=8192, kf_capacity=64, keys_per_kf=512
+        )
+        trk = tracker.StereoTracker(
+            scene.K.astype(np.float32), scene.baseline, scene.width,
+            scene.height, world, params,
+        )
+        mapper = local_mapper.LocalMapper(
+            world, scene.K.astype(np.float32), scene.baseline, mesh=mesh
+        )
+        for f in range(12):
+            nk = len(trk.new_kf_slots)
+            trk.track(scene.render(f), scene.render(f, right=True))
+            if len(trk.new_kf_slots) > nk and trk.new_kf_slots[-1] > 0:
+                r = mapper.run(trk.new_kf_slots[-1])
+                trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+                trk.add_active(r["new_lm_ids"])
+        return trk.trajectory(), mapper.ba_count
+
+    traj_single, n1 = run(None)
+    traj_shard, n2 = run(mesh_mod.make_mesh(N_DEV, axis=sharded_ba.AXIS))
+    assert n2 == n1 and n2 > 0
+    assert len(traj_shard) == len(traj_single)
+    # identical pipeline, BA differs only in float reduction order
+    d = np.linalg.norm(
+        traj_shard[:, :3, 3] - traj_single[:, :3, 3], axis=1
+    )
+    assert d.max() < 0.01, d
+    gt = scene.poses_c2w[: len(traj_shard)]
+    ate = trajectory.ate_rmse(traj_shard, gt, align=False)
+    assert ate < 0.03, ate
 
 
 def test_dryrun_multichip_entrypoint():

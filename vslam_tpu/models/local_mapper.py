@@ -496,12 +496,37 @@ class LocalMapperConfig:
 
 
 class LocalMapper:
-    def __init__(self, world: map_state.WorldMap, K, baseline, config: LocalMapperConfig | None = None):
+    def __init__(
+        self,
+        world: map_state.WorldMap,
+        K,
+        baseline,
+        config: LocalMapperConfig | None = None,
+        mesh=None,
+    ):
+        """`mesh`: an optional jax.sharding.Mesh. With >1 device the
+        2-round local BA runs sharded over it (observation rows + the
+        Schur reduction's landmark slabs; see vslam_tpu.parallel.sharded_ba)
+        — the scaling dimension the reference's single GTSAM thread never
+        had (SURVEY.md §5)."""
         self.world = world
         self.K = jnp.asarray(K, jnp.float32)
         self.baseline = jnp.float32(baseline)
         self.cfg = config or LocalMapperConfig()
         self.ba_count = 0
+        self.mesh = mesh
+        self._sharded = None
+        if mesh is not None and mesh.devices.size > 1:
+            from vslam_tpu.parallel import sharded_ba
+
+            n = mesh.devices.size
+            if LM_SLOTS % n:
+                raise ValueError(
+                    f"mesh size {n} must divide landmark slots {LM_SLOTS}"
+                )
+            self._sharded = sharded_ba.sharded_two_rounds(
+                mesh, iters1=self.cfg.iters_round1, iters2=self.cfg.iters_round2
+            )
 
     # ------------------------------------------------------------------
     def find_new_points(self, kf_slot: int, mono: bool = False) -> np.ndarray:
@@ -729,10 +754,16 @@ class LocalMapper:
         old_last_pose = w.kf_poses_host[kf_slot].copy()
 
         # round 1 -> chi2 sweep -> round 2 -> final kill mask, ONE device
-        # program (reference 543-873; fused to avoid per-stage dispatch RTTs)
-        p2, err, kill = schur.local_ba_two_rounds(
-            p, iters1=cfg.iters_round1, iters2=cfg.iters_round2
-        )
+        # program (reference 543-873; fused to avoid per-stage dispatch
+        # RTTs); sharded over the mesh when one is configured
+        if self._sharded is not None:
+            from vslam_tpu.parallel import sharded_ba
+
+            p2, err, kill = sharded_ba.run_problem(self._sharded, p)
+        else:
+            p2, err, kill = schur.local_ba_two_rounds(
+                p, iters1=cfg.iters_round1, iters2=cfg.iters_round2
+            )
         host_pack = jnp.concatenate(
             [
                 p2.poses.reshape(-1),

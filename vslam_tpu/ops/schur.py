@@ -75,6 +75,10 @@ def _project_residual(T_wc, pt, uv, is_stereo, is_right, K, baseline):
     return jnp.where(behind, 0.0, jnp.stack([r_u, r_v, r_ur]))
 
 
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
 def _obs_residual_and_jacobians(p: BAProblem):
     """Batched residuals (O,3) and Jacobians (O,3,6) wrt pose tangent,
     (O,3,3) wrt point, all pre-weighted by obs_w and masked."""
@@ -125,14 +129,39 @@ def _odometry_residual_and_jacobians(p: BAProblem):
     return r * w, Ji * w[..., None], Jj * w[..., None]
 
 
-def ba_error(p: BAProblem) -> jax.Array:
+def ba_error(p: BAProblem, axis_name: str | None = None) -> jax.Array:
+    # axis_name unused: under the slab-sharded scheme every shard holds the
+    # full observation set, so the error is replicated by construction
+    # (kept in the signature for call-site symmetry)
+    del axis_name
     r, _, _ = _obs_residual_and_jacobians(p)
     ro, _, _ = _odometry_residual_and_jacobians(p)
     return 0.5 * (jnp.sum(r * r) + jnp.sum(ro * ro))
 
 
-def _assemble(p: BAProblem):
-    """Build the blocked normal equations."""
+def _slab(axis_name: str | None, L: int):
+    """(slab size, slab offset) of this shard's landmark slab — the full
+    range when unsharded."""
+    if axis_name is None:
+        return L, 0
+    n = jax.lax.psum(1, axis_name)
+    i = jax.lax.axis_index(axis_name)
+    return L // n, i * (L // n)
+
+
+def _assemble(p: BAProblem, axis_name: str | None = None):
+    """Build the blocked normal equations.
+
+    Sharding scheme (inside a shard_map over `axis_name`, ALL inputs
+    replicated): the cheap O(O) linearization and the small pose blocks
+    (Hpp, gp) are computed redundantly on every shard, while the LANDMARK
+    dimension — where both memory (Hpl is W x L blocks) and the dominant
+    O(W^2 L) Schur reduction live — is split into per-shard slabs by
+    masked scatter. Communication is then only the psum of the (W,W,6,6)
+    reduced system + reduced gradient and an all_gather of landmark
+    deltas, independent of the observation count (the scaling-book
+    recipe: replicate the small, shard the big, let collectives carry
+    only reduced quantities)."""
     W = p.poses.shape[0]
     L = p.pts.shape[0]
     r, Jp, Jl = _obs_residual_and_jacobians(p)
@@ -141,18 +170,27 @@ def _assemble(p: BAProblem):
     free = (~p.fixed) & p.pose_valid
     Jp = Jp * free[p.obs_kf][:, None, None]
 
+    Lloc, off = _slab(axis_name, L)
+    # slab-local landmark row; out-of-slab rows scatter to index Lloc,
+    # dropped by mode="drop" (explicit sentinel — negative indices would
+    # wrap under default jnp indexing)
+    in_slab = (p.obs_lm >= off) & (p.obs_lm < off + Lloc)
+    lm_loc = jnp.where(in_slab, p.obs_lm - off, Lloc)
+
     Hpp = jnp.zeros((W, W, 6, 6))
-    Hll = jnp.zeros((L, 3, 3)).at[p.obs_lm].add(
-        jnp.einsum("oik,oil->okl", Jl, Jl)
+    Hll = jnp.zeros((Lloc, 3, 3)).at[lm_loc].add(
+        jnp.einsum("oik,oil->okl", Jl, Jl), mode="drop"
     )
     Hpp = Hpp.at[p.obs_kf, p.obs_kf].add(jnp.einsum("oik,oil->okl", Jp, Jp))
-    Hpl = jnp.zeros((W, L, 6, 3)).at[p.obs_kf, p.obs_lm].add(
-        jnp.einsum("oik,oil->okl", Jp, Jl)
+    Hpl = jnp.zeros((W, Lloc, 6, 3)).at[p.obs_kf, lm_loc].add(
+        jnp.einsum("oik,oil->okl", Jp, Jl), mode="drop"
     )
     gp = jnp.zeros((W, 6)).at[p.obs_kf].add(jnp.einsum("oik,oi->ok", Jp, r))
-    gl = jnp.zeros((L, 3)).at[p.obs_lm].add(jnp.einsum("oik,oi->ok", Jl, r))
+    gl = jnp.zeros((Lloc, 3)).at[lm_loc].add(
+        jnp.einsum("oik,oi->ok", Jl, r), mode="drop"
+    )
 
-    # odometry chain contributions
+    # odometry chain contributions (replicated, like Hpp)
     ro, Ji, Jj = _odometry_residual_and_jacobians(p)
     Ji = Ji * free[:-1][:, None, None]
     Jj = Jj * free[1:][:, None, None]
@@ -188,12 +226,19 @@ def _inv3(A: jax.Array) -> jax.Array:
     return co / det[..., None, None]
 
 
-def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam):
-    """Damped Schur-complement solve -> (delta_pose (W,6), delta_pt (L,3))."""
+def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam, axis_name=None):
+    """Damped Schur-complement solve -> (delta_pose (W,6), delta_pt (L,3)).
+
+    Hll/Hpl/gl arrive in slab form (this shard's landmark slice; the full
+    arrays when unsharded). The reduction S = Hpp - sum_l Hpl_l Hll_l^-1
+    Hpl_l^T runs on the slab and one psum of the (6W)^2 reduced system +
+    reduced gradient assembles the full system; landmark deltas are
+    computed per slab and all_gather'd."""
     W = p.poses.shape[0]
     L = p.pts.shape[0]
     eye3 = jnp.eye(3)
     eye6 = jnp.eye(6)
+    Lloc, off = _slab(axis_name, L)
 
     # LM damping on block diagonals
     Hll_d = Hll + lam * eye3[None] * jnp.maximum(
@@ -204,9 +249,16 @@ def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam):
     Hll_d = jnp.where(observed[:, None, None], Hll_d, eye3[None])
     Hll_inv = _inv3(Hll_d)
 
-    # reduced camera system S = Hpp - Hpl Hll^-1 Hlp  (sum over landmarks)
-    S = Hpp - jnp.einsum("alij,ljk,blmk->abim", Hpl, Hll_inv, Hpl)
-    b = gp - jnp.einsum("alij,ljk,lk->ai", Hpl, Hll_inv, gl)
+    # reduced camera system S = Hpp - Hpl Hll^-1 Hlp (sum over landmarks),
+    # written as ONE (6W, 3Lloc) x (3Lloc, 6W) matmul so it tiles onto the
+    # MXU instead of lowering the 4-operand einsum to small batched GEMMs
+    M = jnp.einsum("alij,ljk->alik", Hpl, Hll_inv)  # (W, Lloc, 6, 3)
+    M2 = M.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lloc)
+    H2 = Hpl.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lloc)
+    b_red = jnp.einsum("alik,lk->ai", M, gl)
+    S_red, b_red = _psum((M2 @ H2.T, b_red), axis_name)
+    S = Hpp - S_red.reshape(W, 6, W, 6).transpose(0, 2, 1, 3)
+    b = gp - b_red
 
     free = (~p.fixed) & p.pose_valid
     diagW = jnp.einsum("aaii->a", S.reshape(W, W, 6, 6)[:, :, :, :])
@@ -230,25 +282,36 @@ def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam):
     chol = jax.scipy.linalg.cho_factor(S_dense)
     delta_p = jax.scipy.linalg.cho_solve(chol, -b.reshape(-1)).reshape(W, 6)
 
-    # back-substitute landmarks: dl = Hll^-1 (-gl - Hlp dp)
+    # back-substitute landmarks: dl = Hll^-1 (-gl - Hlp dp), per slab
     rhs = -gl - jnp.einsum("alij,ai->lj", Hpl, delta_p)
     delta_l = jnp.einsum("ljk,lk->lj", Hll_inv, rhs)
-    delta_l = jnp.where((observed & p.pt_valid)[:, None], delta_l, 0.0)
+    if axis_name is None:
+        pt_valid_s = p.pt_valid
+    else:
+        pt_valid_s = jax.lax.dynamic_slice_in_dim(p.pt_valid, off, Lloc)
+    delta_l = jnp.where((observed & pt_valid_s)[:, None], delta_l, 0.0)
+    if axis_name is not None:
+        delta_l = jax.lax.all_gather(delta_l, axis_name, axis=0, tiled=True)
     return delta_p, delta_l
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "axis_name"))
 def local_ba(
-    p: BAProblem, iters: int = 5, lambda0: float = 1e-4, rel_tol: float = 1e-5
+    p: BAProblem, iters: int = 5, lambda0: float = 1e-4, rel_tol: float = 1e-5,
+    axis_name: str | None = None,
 ):
     """Run up to `iters` LM iterations; returns (updated problem, final
     error, final lambda). Accept/reject per iteration like GTSAM LM, with
     GTSAM's relativeErrorTol early exit (the reference sets 1e-5,
     src/OptimizationBA.cpp:772-777) — a lax.while_loop, so a converged
     window (the common steady-state case: it changed by one KF since the
-    last solve) costs 1-2 iterations instead of the full budget."""
+    last solve) costs 1-2 iterations instead of the full budget.
 
-    err0 = ba_error(p)
+    With `axis_name` (inside shard_map, observations sharded over that
+    axis): the accept/reject and convergence logic runs on psum'd errors,
+    so every shard takes identical branches and the loop stays uniform."""
+
+    err0 = ba_error(p, axis_name)
 
     def cond(carry):
         _, _, _, i, done = carry
@@ -256,12 +319,12 @@ def local_ba(
 
     def body(carry):
         p, lam, err, i, _ = carry
-        Hpp, Hll, Hpl, gp, gl = _assemble(p)
-        dp, dl = _schur_solve(p, Hpp, Hll, Hpl, gp, gl, lam)
+        Hpp, Hll, Hpl, gp, gl = _assemble(p, axis_name)
+        dp, dl = _schur_solve(p, Hpp, Hll, Hpl, gp, gl, lam, axis_name)
         new_poses = jax.vmap(se3.retract)(p.poses, dp)
         new_pts = p.pts + dl
         p_new = p._replace(poses=new_poses, pts=new_pts)
-        new_err = ba_error(p_new)
+        new_err = ba_error(p_new, axis_name)
         # NaN-safe accept/reject: a non-finite trial (degenerate Schur solve)
         # is rejected and must not poison the running error
         improved = new_err < err  # False when new_err is NaN
@@ -280,18 +343,24 @@ def local_ba(
     return p, err, lam
 
 
-@functools.partial(jax.jit, static_argnames=("iters1", "iters2"))
-def local_ba_two_rounds(p: BAProblem, iters1: int = 5, iters2: int = 10):
+@functools.partial(jax.jit, static_argnames=("iters1", "iters2", "axis_name"))
+def local_ba_two_rounds(
+    p: BAProblem, iters1: int = 5, iters2: int = 10,
+    axis_name: str | None = None,
+):
     """The reference's full 2-round schedule as ONE device program: round 1
     LM -> chi-squared outlier sweep -> round 2 LM -> final chi-squared kill
     mask (reference src/OptimizationBA.cpp:543-873). Fusing the rounds
     removes 3 of the 4 host->device dispatches per local-BA run — on a
     remote-tunnel TPU each dispatch costs a ~27 ms round trip, which
-    dominated the BA latency."""
-    p1, _, _ = local_ba(p, iters=iters1)
+    dominated the BA latency.
+
+    With `axis_name` the SAME schedule runs sharded (the chi-squared sweep
+    is per-observation and therefore shard-local)."""
+    p1, _, _ = local_ba(p, iters=iters1, axis_name=axis_name)
     keep = p1.obs_valid & (obs_chi2(p1) < CHI2_THR)
     p1 = p1._replace(obs_valid=keep)
-    p2, err, _ = local_ba(p1, iters=iters2)
+    p2, err, _ = local_ba(p1, iters=iters2, axis_name=axis_name)
     kill = p2.obs_valid & (obs_chi2(p2) >= CHI2_THR)
     return p2, err, kill
 
