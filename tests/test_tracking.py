@@ -225,3 +225,37 @@ def test_multiview_triangulation_creates_accurate_landmarks(scene, small_params)
     d = np.linalg.norm(pos[:, None, :] - scene.points_w[None, :, :], axis=-1)
     nearest = d.min(axis=1)
     assert np.median(nearest) < 1.0, np.median(nearest)
+
+
+def test_close_spawn_cap_per_keyframe(scene):
+    """Non-init keyframes spawn at most max_spawn_close new close-stereo
+    landmarks (reference maxAddedStereo = 100,
+    include/FeatureTracker.h:46, src/FeatureTracker.cpp:743-842); the cap
+    keeps the CLOSEST candidates (depth rank). Map init is exempt — the
+    reference's initializeMap seeds every stereo match
+    (src/FeatureTracker.cpp:72-123)."""
+    params = tracker.TrackerParams(
+        n_features=512, n_levels=4, active_size=1024, spawn_per_kf=256,
+        kf_min_stereo=60, max_spawn_close=8,
+    )
+    world = map_state.WorldMap(
+        lm_capacity=8192, kf_capacity=64, keys_per_kf=params.n_features
+    )
+    trk = tracker.StereoTracker(
+        scene.K.astype(np.float32), scene.baseline, scene.width,
+        scene.height, world, params,
+    )
+    deltas = []
+    prev_lm = None
+    for f in range(12):
+        n_kf = len(trk.new_kf_slots)
+        trk.track(scene.render(f), scene.render(f, right=True))
+        # no mapper runs, so landmark growth between keyframes is exactly
+        # the spawn count of the committed KF
+        if len(trk.new_kf_slots) > n_kf:
+            if prev_lm is not None:
+                deltas.append(world.n_landmarks - prev_lm)
+            prev_lm = world.n_landmarks
+    trk.flush()
+    assert len(deltas) >= 1, "no non-init keyframe was ever created"
+    assert all(d <= 8 for d in deltas), deltas

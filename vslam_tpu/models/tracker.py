@@ -501,6 +501,7 @@ def _prepare_keyframe(
     #              demotion (reference findOutliersR) — False for demoted
     K,
     spawn: int,
+    max_close: int,
     n_levels: int,
     scale: float,
     width: int,
@@ -576,9 +577,12 @@ def _prepare_keyframe(
     order = jnp.argsort(jnp.where(cand, st_depth, jnp.inf))
     take = order[:spawn]
     take_valid = cand[take] & spawn_avail
-    # cap to the reference's per-KF budget by rank
+    # cap to the reference's per-KF budget (maxAddedStereo = 100,
+    # include/FeatureTracker.h:46) by depth rank: the closest max_close
+    # candidates win, the rest of the preallocated slot block is released
+    # by the caller
     rank = jnp.cumsum(take_valid.astype(jnp.int32)) - 1
-    take_valid = take_valid & (rank < spawn)
+    take_valid = take_valid & (rank < max_close)
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     kxy = keys.xy[take]
@@ -1013,6 +1017,10 @@ class StereoTracker:
             jnp.zeros((p.active_size,), bool),
             self.K,
             spawn=p.n_features,
+            # map init seeds a landmark from EVERY stereo match — the
+            # reference's initializeMap has no maxAddedStereo cap
+            # (src/FeatureTracker.cpp:72-123)
+            max_close=p.n_features,
             n_levels=p.n_levels,
             scale=p.scale,
             width=self.width,
@@ -1057,6 +1065,7 @@ class StereoTracker:
             outputs["st_flags"],
             self.K,
             spawn=p.spawn_per_kf,
+            max_close=p.max_spawn_close,
             n_levels=p.n_levels,
             scale=p.scale,
             width=self.width,
@@ -1291,6 +1300,7 @@ class MonoTracker(StereoTracker):
             jnp.zeros((p.active_size,), bool),
             self.K,
             spawn=1,
+            max_close=1,
             n_levels=p.n_levels,
             scale=p.scale,
             width=self.width,
