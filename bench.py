@@ -3,7 +3,11 @@
 Runs the complete stereo tracking pipeline (pyramid/FAST/BRIEF extraction
 x2, stereo matching, landmark projection matching, motion-only LM, KF
 insertion + local BA) on an EuRoC-sized synthetic sequence and reports
-steady-state tracked frames/s on the available device.
+steady-state tracked frames/s on the available device. Also measures a
+KITTI-geometry variant (2048 features on a 1248x384 frame — the
+reference's KITTI configs run 2000 features at 1241x376,
+config/config_kitti_00.yaml:3,49) and dedicated local-BA solves/s
+(BASELINE.json metric list), plus the per-stage StageTimer breakdown.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the reference's implied real-time rate on its
@@ -30,21 +34,22 @@ def _setup_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def main():
-    _setup_cache()
+def run_pipeline(scene, params, n_frames, warmup):
+    """Full tracking + async local-BA loop; returns (fps, ate, trk, mapper)."""
     from vslam_tpu.models import local_mapper, map_state, tracker
-    from vslam_tpu.utils import synthetic, trajectory
+    from vslam_tpu.utils import trajectory
 
-    n_frames = 80
-    scene = synthetic.make_scene(
-        n_frames=n_frames, n_points=900, width=752, height=480, fps=20.0, seed=3
+    world = map_state.WorldMap(
+        lm_capacity=1 << 15, kf_capacity=128, keys_per_kf=params.n_features
     )
-    params = tracker.TrackerParams(n_features=1024, n_levels=8, active_size=4096)
-    world = map_state.WorldMap(lm_capacity=1 << 15, kf_capacity=128, keys_per_kf=1024)
     trk = tracker.StereoTracker(
-        scene.K.astype(np.float32), scene.baseline, scene.width, scene.height, world, params
+        scene.K.astype(np.float32), scene.baseline, scene.width, scene.height,
+        world, params,
     )
-    mapper = local_mapper.LocalMapper(world, scene.K.astype(np.float32), scene.baseline)
+    mapper = local_mapper.LocalMapper(
+        world, scene.K.astype(np.float32), scene.baseline,
+        local_mapper.LocalMapperConfig(n_levels=params.n_levels, scale=params.scale),
+    )
 
     # pre-render all frames (host-side input, excluded from timing);
     # uint8 like a real camera feed — cast to f32 happens on device
@@ -80,7 +85,6 @@ def main():
             pending_ba[0] = mapper.run_async(trk.new_kf_slots[-1])
             pending_ba[1] = f
 
-    warmup = 12
     for f in range(warmup):
         n_kf = len(trk.new_kf_slots)
         trk.track(*frames[f])
@@ -103,6 +107,48 @@ def main():
 
     poses = trk.trajectory()
     ate = trajectory.ate_rmse(poses, scene.poses_c2w[: len(poses)], align=False)
+    return fps, float(ate), trk, mapper
+
+
+def measure_ba_solves(trk, mapper, n=6):
+    """Dedicated local-BA throughput: back-to-back synchronous solves of
+    the live window around the newest keyframe (solves/s, a BASELINE.json
+    metric). Each solve is the full pipeline: triangulation dispatch,
+    window assembly, fused 2-round Schur BA, write-back, host fetch."""
+    slots = [s for s in trk.new_kf_slots if s > 0]
+    if not slots:
+        return 0.0
+    slot = slots[-1]
+    mapper.run(slot)  # ensure compiled outside the timed region
+    t0 = time.perf_counter()
+    for _ in range(n):
+        mapper.run(slot)
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    _setup_cache()
+    from vslam_tpu.models import tracker
+    from vslam_tpu.utils import synthetic
+
+    # --- EuRoC geometry (the primary metric: 752x480, 20 fps capture) ---
+    n_frames, warmup = 80, 12
+    scene = synthetic.make_scene(
+        n_frames=n_frames, n_points=900, width=752, height=480, fps=20.0, seed=3
+    )
+    params = tracker.TrackerParams(n_features=1024, n_levels=8, active_size=4096)
+    fps, ate, trk, mapper = run_pipeline(scene, params, n_frames, warmup)
+    ba_solves_per_s = measure_ba_solves(trk, mapper)
+    track_stats = trk.metrics.summary().get("track", {})
+
+    # --- KITTI geometry (reference: 2000 features @ 1241x376, 10 fps;
+    # padded to 1248x384 = multiples of the 8x128 vector lanes) ---
+    nk, wk = 40, 10
+    scene_k = synthetic.make_scene(
+        n_frames=nk, n_points=900, width=1248, height=384, fps=10.0, seed=5
+    )
+    params_k = tracker.TrackerParams(n_features=2048, n_levels=8, active_size=4096)
+    fps_kitti, ate_kitti, _, _ = run_pipeline(scene_k, params_k, nk, wk)
 
     baseline_fps = 20.0  # EuRoC real-time intent (no published numbers)
     print(
@@ -113,10 +159,16 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3),
                 "extra": {
-                    "ate_rmse_m_synthetic": round(float(ate), 4),
+                    "ate_rmse_m_synthetic": round(ate, 4),
                     "n_keyframes": trk.world.n_keyframes,
                     "n_landmarks": trk.world.n_landmarks,
                     "ba_runs": mapper.ba_count,
+                    "local_ba_solves_per_s": round(ba_solves_per_s, 2),
+                    "track_ms_p50": track_stats.get("p50_ms"),
+                    "track_ms_p90": track_stats.get("p90_ms"),
+                    "kitti_2048feat_fps": round(fps_kitti, 2),
+                    "kitti_vs_10fps_target": round(fps_kitti / 10.0, 3),
+                    "kitti_ate_rmse_m": round(ate_kitti, 4),
                 },
             }
         )

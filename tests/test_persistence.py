@@ -48,13 +48,22 @@ def test_checkpoint_roundtrip_bitexact(tmp_path, tracked_world):
     np.testing.assert_allclose(p_a, p_b, atol=1e-5)
 
 
-def test_checkpoint_capacity_mismatch_raises(tmp_path, tracked_world):
+def test_checkpoint_capacity_adoption(tmp_path, tracked_world):
+    """A checkpoint taken after the map grew restores into a fresh smaller
+    world by growing it to match (map_state.grow_*); a keys_per_kf
+    mismatch is a genuine format incompatibility and still raises."""
     _, _, world, trk = tracked_world
     path = str(tmp_path / "ckpt.npz")
     checkpoint.save_checkpoint(path, world)
-    other = map_state.WorldMap(lm_capacity=4096, kf_capacity=64, keys_per_kf=512)
-    with pytest.raises(ValueError, match="lm_capacity"):
-        checkpoint.load_checkpoint(path, other)
+    other = map_state.WorldMap(lm_capacity=4096, kf_capacity=16, keys_per_kf=512)
+    checkpoint.load_checkpoint(path, other)
+    assert other.lm_capacity == world.lm_capacity
+    assert other.kf_capacity == world.kf_capacity
+    assert other.n_keyframes == world.n_keyframes
+    np.testing.assert_array_equal(other.kf_obs_lm, world.kf_obs_lm)
+    bad = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=256)
+    with pytest.raises(ValueError, match="keys_per_kf"):
+        checkpoint.load_checkpoint(path, bad)
 
 
 def test_viz_exports(tmp_path, tracked_world):

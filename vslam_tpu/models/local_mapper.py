@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ import numpy as np
 from vslam_tpu.geometry import se3, triangulate
 from vslam_tpu.models import map_state
 from vslam_tpu.ops import extract, hamming, schur
+from vslam_tpu.utils import metrics as metrics_mod
 
 WINDOW = 12  # last KF + <=10 covisible + 1 pad (static shape)
 ANCHORS = 8  # fixed out-of-window observer KFs: the reference adds EVERY
@@ -514,6 +516,10 @@ class LocalMapper:
         self.baseline = jnp.float32(baseline)
         self.cfg = config or LocalMapperConfig()
         self.ba_count = 0
+        # per-stage timers + counters (SURVEY.md §5 observability; read by
+        # bench.py for the local-BA solves/s metric)
+        self.metrics = metrics_mod.StageTimer()
+        self.counters = metrics_mod.Counters()
         self.mesh = mesh
         self._sharded = None
         if mesh is not None and mesh.devices.size > 1:
@@ -739,6 +745,7 @@ class LocalMapper:
         as device programs without fetching anything. The device-resident
         map is fully updated once the queue drains; the returned pending
         handle carries the in-flight host copies for :meth:`finish`."""
+        t0 = time.perf_counter()
         w = self.world
         cfg = self.cfg
         # triangulation is DISPATCHED but not fetched: _assemble sees its
@@ -800,6 +807,7 @@ class LocalMapper:
                 jnp.asarray(obs_r_kill_key_host),
                 kill[n_left:],
             )
+        self.metrics.record("ba_dispatch", time.perf_counter() - t0)
         return {
             "kf_slot": kf_slot,
             "mono": mono,
@@ -818,6 +826,7 @@ class LocalMapper:
         """Consume a :meth:`run_async` handle: fetch the packed result blobs
         (they have been copying while other work ran) and update the host
         mirrors. Returns re-anchoring info for the tracker."""
+        t0 = time.perf_counter()
         w = self.world
         kf_slots, kf_valid = pending["kf_slots"], pending["kf_valid"]
         K_keys = w.keys_per_kf
@@ -851,6 +860,8 @@ class LocalMapper:
                 kkey = pending["kill_r_key"][kill_r_host]
                 w.kf_obs_r_lm[kkf, kkey] = -1
             self.ba_count += 1
+        self.metrics.record("ba_finish", time.perf_counter() - t0)
+        self.counters.inc("ba_solves")
 
         return {
             "kf_slot": pending["kf_slot"],

@@ -31,7 +31,12 @@ class VSlamSystem:
         lm_capacity: int = 1 << 16,
         kf_capacity: int = 1024,
         tracker_params: tracker.TrackerParams | None = None,
+        io_rectified: bool = False,
     ):
+        """`io_rectified=True` declares that incoming frames were already
+        undistorted+rectified by the IO pipeline (native prefetcher with
+        rectify maps) — the facade then skips its device-side remap even
+        for an unrectified config."""
         self.conf = conf
         self.mode = mode if mode is not None else conf.slam_mode
         self.rig = cam.StereoCamera.from_config(conf)
@@ -95,7 +100,7 @@ class VSlamSystem:
 
         # rectification (EuRoC-style unrectified rigs)
         self._maps = None
-        if not conf.rectified and self.rig.left.K is not None:
+        if not io_rectified and not conf.rectified and self.rig.left.K is not None:
             ml = cam.init_undistort_rectify_map(
                 self.rig.left.K, self.rig.left.D, self.rig.left.R, self.rig.left.P,
                 self.rig.width, self.rig.height,

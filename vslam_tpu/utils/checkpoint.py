@@ -88,7 +88,22 @@ def load_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> dict:
     meta = json.loads(bytes(data["meta_json"]).decode())
     if meta["version"] != FORMAT_VERSION:
         raise ValueError(f"checkpoint version {meta['version']} != {FORMAT_VERSION}")
-    for cap in ("lm_capacity", "kf_capacity", "keys_per_kf"):
+    for cap in ("keys_per_kf",):
+        if meta[cap] != getattr(world, cap):
+            raise ValueError(
+                f"checkpoint {cap}={meta[cap]} does not match world "
+                f"{cap}={getattr(world, cap)}"
+            )
+    # a checkpoint taken after the map grew (map_state.grow_landmarks /
+    # grow_keyframes) restores into a fresh default-capacity world by
+    # growing it to match first; a SMALLER checkpoint can't be adopted
+    # (the restored arrays define the capacity, shrinking would lose the
+    # preallocated headroom invariants) so that stays an error
+    if meta["lm_capacity"] > world.lm_capacity:
+        world.grow_landmarks(meta["lm_capacity"])
+    if meta["kf_capacity"] > world.kf_capacity:
+        world.grow_keyframes(meta["kf_capacity"])
+    for cap in ("lm_capacity", "kf_capacity"):
         if meta[cap] != getattr(world, cap):
             raise ValueError(
                 f"checkpoint {cap}={meta[cap]} does not match world "

@@ -7,8 +7,13 @@ parsing, per-frame IMU binning (reference src/VIOSlam.cpp:238-272), and
 gravity init from the first accelerometer sample (the reference's axis
 permutation ``{a_y, -a_x, a_z}``, src/VIOSlam.cpp:274).
 
-Decoding and rectification feed fixed-shape device buffers; the per-frame
-remap runs on device (vslam_tpu.geometry.camera.remap_bilinear).
+Decoding and rectification feed fixed-shape device buffers. The default
+frame path is the NATIVE IO runtime (vslam_tpu.native): multi-threaded PNG
+decode + host-side rectification readahead, so the tracking loop never pays
+decode latency inline (the reference pays imread+remap on its tracking
+thread every frame, src/VIOSlam.cpp:292-306). Without the native library
+(no toolchain/libpng) everything degrades to PIL decode with the remap on
+device (vslam_tpu.geometry.camera.remap_bilinear).
 """
 
 from __future__ import annotations
@@ -20,6 +25,18 @@ from typing import Iterator, Sequence
 import numpy as np
 
 from vslam_tpu.utils.config import ConfigFile
+
+
+def _native():
+    """The native IO module, or None when it can't build/load here."""
+    try:
+        from vslam_tpu import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
 
 
 @dataclasses.dataclass
@@ -49,8 +66,15 @@ def load_imu_csv(path: str) -> np.ndarray:
     """EuRoC imu0/data.csv -> (N, 7) [t_sec, wx, wy, wz, ax, ay, az].
 
     Replicates reference getAllIMUData (src/VIOSlam.cpp:23-73): timestamps
-    are nanoseconds in column 0, gyro in 1:4, accel in 4:7.
+    are nanoseconds in column 0, gyro in 1:4, accel in 4:7. Parsed by the
+    native C++ runtime when available, Python fallback otherwise.
     """
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.parse_imu_csv(path)
+        except Exception:
+            pass  # malformed edge the C parser refuses -> Python fallback
     rows = []
     with open(path, "r") as f:
         for line in f:
@@ -88,6 +112,44 @@ def gravity_from_first_accel(imu: np.ndarray) -> np.ndarray:
     return np.array([a[1], -a[0], a[2]], dtype=np.float64)
 
 
+def _prefetched_frames(left_paths, right_paths, times, bins, maps):
+    """Frames through the native readahead pipeline: worker threads decode
+    (and rectify, when `maps` is given) ahead of the consumer; delivery is
+    strictly in order. `maps` = (lx, ly, rx, ry) float32 source-coordinate
+    maps or None."""
+    nat = _native()
+    if maps is not None:
+        h, w = maps[0].shape
+    else:
+        h, w = nat.probe_png(left_paths[0])
+    pf = nat.Prefetcher(list(left_paths), list(right_paths) if right_paths else None,
+                        h, w, maps=maps, threads=3)
+    try:
+        for idx, left, right in pf:
+            yield Frame(
+                index=idx,
+                t=float(times[idx]),
+                left=left,
+                right=right,
+                imu=bins[idx] if bins is not None else np.zeros((0, 7)),
+            )
+    finally:
+        pf.close()
+
+
+def _can_prefetch(paths) -> bool:
+    return _native() is not None and all(p.endswith(".png") for p in paths[:1])
+
+
+def _no_native_error() -> str:
+    try:
+        from vslam_tpu import native
+
+        return native.build_error() or "native runtime unavailable"
+    except Exception as e:  # pragma: no cover
+        return str(e)
+
+
 class KittiDataset:
     """KITTI odometry grayscale sequence: image_0/ (left), image_1/ (right),
     times.txt. Layout per reference src/VIOSlam.cpp:187-193."""
@@ -109,14 +171,25 @@ class KittiDataset:
     def __len__(self) -> int:
         return len(self.names)
 
-    def frames(self, limit: int | None = None) -> Iterator[Frame]:
+    def frames(
+        self, limit: int | None = None, maps=None, prefetch: bool = True
+    ) -> Iterator[Frame]:
         n = len(self.names) if limit is None else min(limit, len(self.names))
+        lefts = [os.path.join(self.left_dir, nm) for nm in self.names[:n]]
+        rights = [os.path.join(self.right_dir, nm) for nm in self.names[:n]]
+        if prefetch and _can_prefetch(lefts):
+            yield from _prefetched_frames(lefts, rights, self.times, None, maps)
+            return
+        if maps is not None:
+            raise RuntimeError(
+                f"IO-side rectification needs the native runtime: {_no_native_error()}"
+            )
         for i in range(n):
             yield Frame(
                 index=i,
                 t=float(self.times[i]),
-                left=_load_gray(os.path.join(self.left_dir, self.names[i])),
-                right=_load_gray(os.path.join(self.right_dir, self.names[i])),
+                left=_load_gray(lefts[i]),
+                right=_load_gray(rights[i]),
                 imu=np.zeros((0, 7)),
             )
 
@@ -147,18 +220,27 @@ class EurocDataset:
     def __len__(self) -> int:
         return len(self.names)
 
-    def frames(self, limit: int | None = None) -> Iterator[Frame]:
+    def frames(
+        self, limit: int | None = None, maps=None, prefetch: bool = True
+    ) -> Iterator[Frame]:
         n = len(self.names) if limit is None else min(limit, len(self.names))
+        lefts = [os.path.join(self.root, "cam0", "data", nm) for nm in self.names[:n]]
+        rights = None
+        if not self.mono:
+            rights = [os.path.join(self.root, "cam1", "data", nm) for nm in self.names[:n]]
+        if prefetch and _can_prefetch(lefts):
+            yield from _prefetched_frames(lefts, rights, self.times, self._bins, maps)
+            return
+        if maps is not None:
+            raise RuntimeError(
+                f"IO-side rectification needs the native runtime: {_no_native_error()}"
+            )
         for i in range(n):
-            left = _load_gray(os.path.join(self.root, "cam0", "data", self.names[i]))
-            right = None
-            if not self.mono:
-                right = _load_gray(os.path.join(self.root, "cam1", "data", self.names[i]))
             yield Frame(
                 index=i,
                 t=float(self.times[i]),
-                left=left,
-                right=right,
+                left=_load_gray(lefts[i]),
+                right=_load_gray(rights[i]) if rights is not None else None,
                 imu=self._bins[i] if self._bins is not None else np.zeros((0, 7)),
             )
 

@@ -39,10 +39,14 @@ class StageTimer:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
-            self._samples[name].append(dt)
-            self._totals[name] += dt
-            self._counts[name] += 1
+            self.record(name, time.perf_counter() - t0)
+
+    def record(self, name: str, dt: float):
+        """Record one sample directly (for code paths where a context
+        manager would force awkward re-indentation)."""
+        self._samples[name].append(dt)
+        self._totals[name] += dt
+        self._counts[name] += 1
 
     def summary(self) -> dict:
         out = {}
