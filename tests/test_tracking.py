@@ -259,3 +259,25 @@ def test_close_spawn_cap_per_keyframe(scene):
     trk.flush()
     assert len(deltas) >= 1, "no non-init keyframe was ever created"
     assert all(d <= 8 for d in deltas), deltas
+
+
+def test_tracking_survives_hard_scene(small_params):
+    """Hard-mode synthetic (VERDICT round-1 #6): photometric sensor noise,
+    exposure drift, and moving textureless occluders. Validates that the
+    custom FAST/BRIEF pattern and the matching gates survive non-ideal
+    imaging with bounded ATE (the clean-scene gate is 0.03)."""
+    hard = synthetic.make_scene(
+        n_frames=12, n_points=400, width=320, height=240, fps=10.0, seed=7,
+        noise_std=4.0, gain_drift=0.15, n_occluders=2,
+    )
+    n = 12
+    trk, poses = _run_tracking(hard, small_params, n, with_ba=True)
+    gt = hard.poses_c2w[:n]
+    # measured ~0.2 (vs 0.013 clean): bounded degradation, and the
+    # tracking-failure gate must prevent wrong-basin pose jumps (without
+    # it this scene produced a 7 m single-frame teleport)
+    ate = trajectory.ate_rmse(poses, gt, align=False)
+    assert ate < 0.3, ate
+    errs = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert errs.max() < 0.7, errs
+    assert trk.world.n_landmarks > 100

@@ -36,6 +36,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,7 @@ import numpy as np
 from vslam_tpu.geometry import se3
 from vslam_tpu.models import map_state
 from vslam_tpu.ops import extract, imu as imu_ops, lm, project_match, stereo_match
+from vslam_tpu.utils import metrics as metrics_mod
 
 
 @dataclasses.dataclass
@@ -423,6 +425,32 @@ def _track_step(
         lm_pred, midx_r, st_flags, r_uv, r_oct,
     ) = attempt(T_opt, v_opt, b_opt, refine_radius)
 
+    # ---- tracking-failure gate (SURVEY.md §5: the reference has NO
+    # failure recovery — lost tracking just corrupts its map). When the
+    # retry loop has grown the match radius on a degraded frame
+    # (occlusion + photometric noise), the LM solve can converge in a
+    # WRONG basin with >= min_inliers self-consistent spurious matches;
+    # the signature is a solution implausibly far from the motion
+    # prediction, or a threadbare inlier set. Such a solve is REFUSED:
+    # the frame dead-reckons on the prediction, its matches are voided
+    # (so no wrong observations reach the keyframe table), and the low
+    # resulting inlier count lets the KF policy re-seed the map from
+    # fresh stereo depth at the predicted pose.
+    pred_step = jnp.linalg.norm(T_pred[:3, 3] - pose_prev[:3, 3])
+    sol_jump = jnp.linalg.norm(T_opt[:3, 3] - T_pred[:3, 3])
+    lost = (n_i < min_inliers // 2) | (
+        sol_jump > jnp.maximum(10.0 * pred_step, 1.0)
+    )
+    T_opt = jnp.where(lost, T_pred, T_opt)
+    v_opt = jnp.where(lost, v0, v_opt)
+    b_opt = jnp.where(lost, b0, b_opt)
+    inliers = inliers & ~lost
+    midx = jnp.where(lost, -1, midx)
+    midx_r = jnp.where(lost, -1, midx_r)
+    n_m = jnp.where(lost, 0, n_m)
+    n_i = jnp.where(lost, 0, n_i)
+    n_st = jnp.where(lost, 0, n_st)
+
     # outlier aging: only landmarks that projected into this frame but were
     # not matched accrue age (reference setActiveOutliers, 1016-1034)
     miss_age = jnp.where(
@@ -574,7 +602,13 @@ def _prepare_keyframe(
     # to anchor the map; multi-view triangulation covers them once the
     # window offers real baselines)
     cand = keys.valid & st_close & (key_lm < 0) & ~near_existing & (st_depth > 0)
-    order = jnp.argsort(jnp.where(cand, st_depth, jnp.inf))
+    # rank candidates in SCAN ORDER (key index), like the reference's
+    # insertKeyFrame loop (src/FeatureTracker.cpp:743-842) — not by
+    # closest depth: depth-first ranking concentrates the whole spawn
+    # budget on the nearest structure, and near occlusion boundaries the
+    # nearest "corners" are view-dependent T-junctions whose stereo depth
+    # is fictitious; scan order keeps the spawns spatially spread
+    order = jnp.argsort(jnp.where(cand, jnp.arange(cand.shape[0], dtype=jnp.float32), jnp.inf))
     take = order[:spawn]
     take_valid = cand[take] & spawn_avail
     # cap to the reference's per-KF budget (maxAddedStereo = 100,
@@ -754,6 +788,11 @@ class StereoTracker:
         self.width = width
         self.height = height
         self.world = world
+        # per-stage wall-clock + counters (the observability layer the
+        # reference never had — SURVEY.md §5; consumed by bench.py and the
+        # dataset driver)
+        self.metrics = metrics_mod.StageTimer()
+        self.counters = metrics_mod.Counters()
         p = self.params
         self.scale_factors = jnp.asarray(extract.scale_factors(p.n_levels, p.scale))
         self._static = (
@@ -861,6 +900,11 @@ class StereoTracker:
     def track(self, left: np.ndarray, right: np.ndarray | None = None, imu: np.ndarray | None = None):
         """Dispatch one rectified stereo pair (or mono frame); processes the
         previous frame's results and returns the newest PROCESSED pose."""
+        with self.metrics.stage("track"):
+            self.counters.inc("frames")
+            return self._track_frame(left, right, imu)
+
+    def _track_frame(self, left, right, imu):
         p = self.params
         LR = jnp.asarray(np.stack([left, right]) if right is not None else left[None])
 
@@ -1093,6 +1137,7 @@ class StereoTracker:
         layout: np.ndarray | None = None, ages: np.ndarray | None = None,
         T_kf_host: np.ndarray | None = None,
     ) -> int:
+        t0 = time.perf_counter()
         w = self.world
         # start the device->host copy of the packed blob NOW, so the
         # blocking np.asarray below finds the bytes already landed instead
@@ -1150,6 +1195,8 @@ class StereoTracker:
             layout if layout is not None else self.active_ids,
             ages if ages is not None else self.miss_age,
         )
+        self.metrics.record("kf_commit", time.perf_counter() - t0)
+        self.counters.inc("keyframes")
         return n_used
 
     def add_active(self, ids: np.ndarray):
@@ -1219,7 +1266,9 @@ class MonoTracker(StereoTracker):
     def track(self, left: np.ndarray, right: np.ndarray | None = None, imu: np.ndarray | None = None):
         if self.initialized:
             return super().track(left, None, imu)
-        return self._bootstrap(left, imu)
+        with self.metrics.stage("track"):
+            self.counters.inc("frames")
+            return self._bootstrap(left, imu)
 
     # ------------------------------------------------------------------
     def _bootstrap(self, left: np.ndarray, imu: np.ndarray | None):

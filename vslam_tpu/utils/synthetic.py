@@ -88,6 +88,52 @@ class SyntheticScene:
     # = 0.2-1.8 m of stereo depth noise at z=5-10 m.)
     patch_phys: float = 0.35
 
+    # --- hard mode (VERDICT round-1 #6: the bench scene was "easier than
+    # the target"): photometric sensor noise, exposure drift, and STATIC
+    # world-anchored foreground occluders that hide landmarks as the
+    # camera moves past them (the camera's own motion sweeps them across
+    # the image; they are real static geometry, so occlusion robustness is
+    # tested without violating the static-scene assumption the reference
+    # also makes — it has no dynamic-object handling either). All
+    # deterministic per (frame, eye) so runs are repeatable. ---
+    noise_std: float = 0.0  # additive Gaussian pixel noise sigma
+    gain_drift: float = 0.0  # multiplicative exposure oscillation amplitude
+    occluders_w: np.ndarray | None = None  # (O, 3) world centers of static
+    #   textureless planes (normal -z), set by make_scene(n_occluders=...)
+    occluder_half: float = 0.25  # half-extent (m) of each occluder plane
+
+    def _apply_hard_mode(self, img: np.ndarray, frame: int, right: bool) -> np.ndarray:
+        W, H = self.width, self.height
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx0, cy0 = self.K[0, 2], self.K[1, 2]
+        if self.occluders_w is not None and len(self.occluders_w):
+            T_wc = self.poses_c2w[frame].copy()
+            if right:
+                T_wc[:3, 3] += T_wc[:3, :3] @ np.array([self.baseline, 0, 0])
+            T_cw = np.linalg.inv(T_wc)
+            pc = (T_cw[:3, :3] @ self.occluders_w.T).T + T_cw[:3, 3]
+            for k in range(len(pc)):
+                z = pc[k, 2]
+                if z < 0.4:
+                    continue  # camera has passed this occluder
+                u = fx * pc[k, 0] / z + cx0
+                v = fy * pc[k, 1] / z + cy0
+                hw = fx * self.occluder_half / z
+                hh = fy * self.occluder_half / z
+                x0c, x1c = max(int(u - hw), 0), min(int(u + hw), W)
+                y0c, y1c = max(int(v - hh), 0), min(int(v + hh), H)
+                if x0c < x1c and y0c < y1c:
+                    # smooth gradient fill: edges but no corner texture
+                    gx = np.linspace(60.0, 110.0 + 15.0 * k, x1c - x0c)[None, :]
+                    img[y0c:y1c, x0c:x1c] = gx
+        if self.gain_drift:
+            gain = 1.0 + self.gain_drift * np.sin(0.7 * frame + (0.5 if right else 0.0))
+            img = img * gain + 6.0 * np.sin(1.3 * frame)
+        if self.noise_std:
+            rng = np.random.default_rng(7919 * frame + (997 if right else 0))
+            img = img + rng.normal(0.0, self.noise_std, img.shape)
+        return np.clip(img, 0.0, 255.0).astype(np.float32)
+
     def render(self, frame: int, right: bool = False) -> np.ndarray:
         """Render one grayscale view: per-pixel ray / patch-plane
         intersection with bilinear texture sampling. Painter order (far
@@ -159,6 +205,8 @@ class SyntheticScene:
             )
             sub = img[y0:y1, x0:x1]
             img[y0:y1, x0:x1] = np.where(hit, val, sub)
+        if self.noise_std or self.gain_drift or self.occluders_w is not None:
+            img = self._apply_hard_mode(img, frame, right)
         return img
 
     def project_points(self, frame: int, right: bool = False):
@@ -186,6 +234,9 @@ def make_scene(
     imu_hz: float = 200.0,
     seed: int = 0,
     depth_range: tuple | None = None,
+    noise_std: float = 0.0,
+    gain_drift: float = 0.0,
+    n_occluders: int = 0,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     dt = 1.0 / fps
@@ -206,6 +257,21 @@ def make_scene(
         axis=-1,
     )
     patches = np.stack([_make_patch(rng) for _ in range(n_points)])
+
+    # static world-anchored occluder planes, staggered along (and slightly
+    # off) the camera path so forward motion sweeps them across the view
+    occluders_w = None
+    if n_occluders:
+        occluders_w = np.stack(
+            [
+                np.array([
+                    (-1.0) ** k * (0.55 + 0.2 * k),
+                    0.25 * np.sin(1.7 * k),
+                    2.5 + (total_len + 4.0) * k / n_occluders,
+                ])
+                for k in range(n_occluders)
+            ]
+        )
 
     # exact IMU: finite-difference the analytic trajectory at high rate
     m = int(n_frames * dt * imu_hz)
@@ -243,4 +309,7 @@ def make_scene(
         velocities=vel,
         imu=imu,
         imu_hz=imu_hz,
+        noise_std=noise_std,
+        gain_drift=gain_drift,
+        occluders_w=occluders_w,
     )
