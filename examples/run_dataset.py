@@ -87,6 +87,8 @@ def main():
                     help="restore a checkpoint and continue from its frame")
     ap.add_argument("--viz", default=None, help="HTML map viewer output path")
     ap.add_argument("--ply", default=None, help="PLY point-cloud output path")
+    ap.add_argument("--global-ba", action="store_true",
+                    help="final full-map bundle adjustment before saving")
     args = ap.parse_args()
 
     conf = ConfigFile(args.config)
@@ -149,6 +151,11 @@ def main():
             print(f"frame {n}  {fps:.1f} fps  kfs={system.world.n_keyframes} lms={system.world.n_landmarks}")
 
     system.exit()
+    if args.global_ba:
+        r = system.global_ba()
+        if r is not None:
+            print(f"global BA: {len(r['window'])} kfs, err={r['error']:.1f}, "
+                  f"killed={r['n_killed']}")
     wall = time.time() - t0
     if args.checkpoint:
         ckpt_io.save_checkpoint(args.checkpoint, system.world, system.tracker)

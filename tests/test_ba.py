@@ -128,3 +128,59 @@ def test_local_ba_with_outliers_two_rounds():
         assert np.abs(xi).max() < 5e-3, (w, xi)
     # most of the injected outliers were swept
     assert (~np.asarray(keep)[bad]).mean() > 0.8
+
+
+def test_global_ba_refines_full_map():
+    """run_global: a single 2-round Schur LM over EVERY keyframe — the
+    grown-window/global mode the reference's ~11-KF GTSAM window cannot
+    reach (SURVEY.md §5 long-context). Must not worsen the trajectory and
+    must leave the map consistent."""
+    import numpy as np
+
+    from vslam_tpu.models import local_mapper, map_state, tracker
+    from vslam_tpu.utils import synthetic, trajectory
+
+    scene = synthetic.make_scene(
+        n_frames=14, n_points=400, width=320, height=240, fps=10.0, seed=7
+    )
+    params = tracker.TrackerParams(
+        n_features=512, n_levels=4, active_size=1024, spawn_per_kf=256,
+        kf_min_stereo=60,
+    )
+    world = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=512)
+    trk = tracker.StereoTracker(
+        scene.K.astype(np.float32), scene.baseline, 320, 240, world, params
+    )
+    mapper = local_mapper.LocalMapper(
+        world, scene.K.astype(np.float32), scene.baseline,
+        local_mapper.LocalMapperConfig(n_levels=4, scale=1.2),
+    )
+    for f in range(14):
+        n_kf = len(trk.new_kf_slots)
+        trk.track(scene.render(f), scene.render(f, right=True))
+        if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
+            r = mapper.run(trk.new_kf_slots[-1])
+            trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+            trk.add_active(r["new_lm_ids"])
+    trk.flush()
+    ate_before = trajectory.ate_rmse(
+        trk.trajectory(), scene.poses_c2w[:14], align=False
+    )
+
+    r = mapper.run_global()
+    assert r is not None
+    assert len(r["window"]) == world.n_keyframes
+    trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+    ate_after = trajectory.ate_rmse(
+        trk.trajectory(), scene.poses_c2w[:14], align=False
+    )
+    # global refinement must not corrupt an already-good trajectory
+    assert ate_after < max(1.25 * ate_before, 0.03), (ate_before, ate_after)
+    # KF0 gauge held
+    np.testing.assert_allclose(world.kf_poses_host[0], np.eye(4), atol=1e-5)
+    # map still consistent: device poses mirror the host
+    np.testing.assert_allclose(
+        np.asarray(world.arrays.kf_pose[: world.n_keyframes]),
+        world.kf_poses_host[: world.n_keyframes],
+        atol=1e-5,
+    )

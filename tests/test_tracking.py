@@ -32,7 +32,12 @@ def _run_tracking(scene, params, n_frames, with_ba=False):
         scene.K.astype(np.float32), scene.baseline, scene.width, scene.height, world, params
     )
     mapper = (
-        local_mapper.LocalMapper(world, scene.K.astype(np.float32), scene.baseline)
+        local_mapper.LocalMapper(
+            world, scene.K.astype(np.float32), scene.baseline,
+            local_mapper.LocalMapperConfig(
+                n_levels=params.n_levels, scale=params.scale
+            ),
+        )
         if with_ba
         else None
     )
@@ -44,6 +49,7 @@ def _run_tracking(scene, params, n_frames, with_ba=False):
             if slot > 0:
                 r = mapper.run(slot)
                 trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+                trk.add_active(r["new_lm_ids"])
     # trajectory() drains the tracker's depth-1 dispatch pipeline and
     # recomposes per-frame poses (aligned 1:1 with the input frames)
     return trk, trk.trajectory()

@@ -86,7 +86,7 @@ def main():
 
     # fused local BA (assemble once, run the fused program repeatedly)
     slot = trk.new_kf_slots[-1]
-    prob, _, _, _ = mapper._assemble(slot)
+    prob = mapper._assemble(slot)[0]
     from vslam_tpu.ops import schur
 
     def ba():

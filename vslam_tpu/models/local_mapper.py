@@ -33,12 +33,21 @@ ANCHORS = 8  # fixed out-of-window observer KFs: the reference adds EVERY
 #              — those residuals anchor window landmarks to the rest of the
 #              map; without them the window drifts as a rigid block
 WTOT = WINDOW + ANCHORS  # total pose slots in a BA problem (static shape)
+
+
+def _round_cap(n: int, lo: int, hi: int) -> int:
+    """Smallest power-of-two multiple of `lo` >= n, clamped to [lo, hi] —
+    a small menu of static shapes keeps recompilation bounded."""
+    c = lo
+    while c < n and c < hi:
+        c *= 2
+    return min(c, hi)
 LM_SLOTS = 4096  # landmark slots per BA problem (static shape)
 SPAWN_TRI = 512  # new-landmark budget per triangulation pass (static shape)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lm_capacity", "n_levels", "scale")
+    jax.jit, static_argnames=("lm_capacity", "n_levels", "scale", "obs_cap")
 )
 def _assemble_device(
     m: map_state.MapArrays,
@@ -56,11 +65,19 @@ def _assemble_device(
     lm_capacity: int,
     n_levels: int,
     scale: float,
+    obs_cap: int,
 ):
     """All device-side BA-problem construction as ONE program: window
     gathers, the observation->local-landmark mapping (device searchsorted —
-    sees in-flight triangulation updates the host mirrors do not), and the
-    odometry chain from the device poses (reference 750-768)."""
+    sees in-flight triangulation updates the host mirrors do not), the
+    odometry chain from the device poses (reference 750-768), and
+    observation-row COMPACTION: the raw [Wb*K | Wb*Kr] table is ~80-90%
+    padding (key slots with no landmark), and every BA iteration pays
+    O(rows) Jacobian + scatter-assembly work — a stable argsort moves the
+    live rows to an obs_cap-slot prefix (12x fewer rows at bench scale).
+    Returns (problem, lm_safe, take) where take[i] is the original flat
+    row index of compacted row i (needed to map kill flags back to
+    observation-table coordinates)."""
     Wb = kf_slots.shape[0]
     K_keys = m.obs_lm.shape[1]
     lm_safe = jnp.clip(lm_ids, 0, lm_capacity - 1)
@@ -73,7 +90,7 @@ def _assemble_device(
     flat = m.obs_lm[kf_slots].reshape(-1)
     row_ok = jnp.repeat(kf_valid, K_keys)
     local = jnp.clip(
-        jnp.searchsorted(lm_ids, jnp.maximum(flat, 0)), 0, LM_SLOTS - 1
+        jnp.searchsorted(lm_ids, jnp.maximum(flat, 0)), 0, lm_ids.shape[0] - 1
     )
     hit = (flat >= 0) & (lm_ids[local] == flat) & row_ok
     obs_lm = jnp.where(hit, local, 0).astype(jnp.int32)
@@ -91,7 +108,7 @@ def _assemble_device(
     flat_r = m.obs_r_lm[kf_slots].reshape(-1)
     row_ok_r = jnp.repeat(kf_valid, Kr)
     local_r = jnp.clip(
-        jnp.searchsorted(lm_ids, jnp.maximum(flat_r, 0)), 0, LM_SLOTS - 1
+        jnp.searchsorted(lm_ids, jnp.maximum(flat_r, 0)), 0, lm_ids.shape[0] - 1
     )
     hit_r = (flat_r >= 0) & (lm_ids[local_r] == flat_r) & row_ok_r
     obs_lm_r = jnp.where(hit_r, local_r, 0).astype(jnp.int32)
@@ -103,28 +120,34 @@ def _assemble_device(
     odo_rel = jax.vmap(lambda a, b: se3.inverse(a) @ b)(poses[:-1], poses[1:])
     odo_valid = kf_valid[:-1] & kf_valid[1:] & odo_mask
 
-    n_left = obs_kf.shape[0]
+    all_hit = jnp.concatenate([hit, hit_r])
+    # stable: live rows keep their original relative order; ties broken by
+    # row index, so overflow (more live rows than obs_cap — prevented by
+    # the host's margin-padded size estimate) drops the LAST right-camera
+    # rows rather than scrambling
+    take = jnp.argsort(~all_hit)[:obs_cap].astype(jnp.int32)
+    ok = all_hit[take]
     p = schur.BAProblem(
         poses=poses,
         fixed=fixed,
         pose_valid=kf_valid,
         pts=pts,
         pt_valid=pt_valid,
-        obs_kf=jnp.concatenate([obs_kf, obs_kf_r]),
-        obs_lm=jnp.concatenate([obs_lm, obs_lm_r]),
-        obs_uv=jnp.concatenate([obs_uv, obs_uv_r]),
+        obs_kf=jnp.concatenate([obs_kf, obs_kf_r])[take],
+        obs_lm=jnp.concatenate([obs_lm, obs_lm_r])[take],
+        obs_uv=jnp.concatenate([obs_uv, obs_uv_r])[take],
         obs_stereo=jnp.concatenate(
             [obs_stereo, jnp.zeros_like(hit_r)]
-        ),
-        obs_right=jnp.concatenate([jnp.zeros_like(hit), hit_r]),
-        obs_w=jnp.concatenate([obs_w, obs_w_r]),
-        obs_valid=jnp.concatenate([hit, hit_r]),
+        )[take],
+        obs_right=jnp.concatenate([jnp.zeros_like(hit), hit_r])[take],
+        obs_w=jnp.concatenate([obs_w, obs_w_r])[take],
+        obs_valid=ok,
         K=K,
         baseline=baseline,
         odo_rel=odo_rel,
         odo_valid=odo_valid,
     )
-    return p, lm_safe
+    return p, lm_safe, take
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
@@ -699,16 +722,31 @@ class LocalMapper:
         ids = np.unique(base)
         ids = ids[:LM_SLOTS]
         n_ids = len(ids)
+        # landmark-slot cap from a doubling menu (few distinct compiled
+        # shapes): the Schur reduction is O(L * (6W)^2), so a 4096-slot
+        # problem holding 900 live landmarks wastes 4x
+        L_cap = _round_cap(n_ids, 1024, LM_SLOTS)
         sentinel = w.lm_capacity  # > any slot: keeps the padded list sorted
         lm_ids = np.concatenate(
-            [ids, np.full(LM_SLOTS - n_ids, sentinel, np.int64)]
+            [ids, np.full(L_cap - n_ids, sentinel, np.int64)]
         )
-        lm_pad_valid = np.arange(LM_SLOTS) < n_ids
+        lm_pad_valid = np.arange(L_cap) < n_ids
+
+        # observation-row cap: live rows counted from the host mirrors
+        # plus margin for in-flight triangulation obs the mirrors lag
+        live = np.asarray(kf_slots)[np.asarray(kf_valid)]
+        n_obs_est = (
+            int((w.kf_obs_lm[live] >= 0).sum())
+            + int((w.kf_obs_r_lm[live] >= 0).sum())
+            + 4 * SPAWN_TRI
+        )
+        full_rows = len(kf_slots) * (w.keys_per_kf + w.right_obs_per_kf)
+        obs_cap = _round_cap(n_obs_est, 4096, full_rows)
 
         # everything device-side fused into ONE program (each separate jnp op
         # is its own dispatch on the remote tunnel, ~1-2 ms of host overhead
         # apiece — the unfused form cost ~35 ms per BA run)
-        p, lm_safe = _assemble_device(
+        p, lm_safe, take = _assemble_device(
             w.arrays,
             jnp.asarray(kf_slots, jnp.int32),
             jnp.asarray(kf_valid),
@@ -721,8 +759,9 @@ class LocalMapper:
             lm_capacity=w.lm_capacity,
             n_levels=cfg.n_levels,
             scale=cfg.scale,
+            obs_cap=obs_cap,
         )
-        return p, kf_slots, kf_valid, lm_safe
+        return p, kf_slots, kf_valid, lm_safe, take
 
     # ------------------------------------------------------------------
     def run(self, kf_slot: int, mono: bool = False) -> dict:
@@ -754,10 +793,22 @@ class LocalMapper:
         # zero host round trips between them
         pend = self._dispatch_triangulation(kf_slot, mono=mono)
         extra = pend["spawn"] if pend is not None else None
-        p, kf_slots, kf_valid, lm_slots_dev = self._assemble(
+        p, kf_slots, kf_valid, lm_slots_dev, take = self._assemble(
             kf_slot, extra_ids=extra
         )
+        return self._dispatch_problem(
+            p, kf_slots, kf_valid, lm_slots_dev, take, kf_slot, mono, pend, t0
+        )
 
+    def _dispatch_problem(
+        self, p, kf_slots, kf_valid, lm_slots_dev, take, kf_slot, mono, pend, t0
+    ) -> dict:
+        """Dispatch the fused 2-round BA + write-back for an assembled
+        problem (any W — the local window or the whole map for
+        :meth:`run_global`) and return the pending handle."""
+        w = self.world
+        cfg = self.cfg
+        Wb = len(kf_slots)
         old_last_pose = w.kf_poses_host[kf_slot].copy()
 
         # round 1 -> chi2 sweep -> round 2 -> final kill mask, ONE device
@@ -775,37 +826,39 @@ class LocalMapper:
             [
                 p2.poses.reshape(-1),
                 kill.astype(jnp.float32),
+                take.astype(jnp.float32),  # maps kill rows -> table coords
                 err[None].astype(jnp.float32),
             ]
         )
         host_pack.copy_to_host_async()  # overlap with the writeback dispatch
 
         # ---- write back (snapshot scatter; reference 875-938) ----
-        # the kill-observation coordinates are pure host data (window slot x
-        # key index in assembly order) — no device fetch needed for them.
-        # kill rows: [WTOT*K left obs | WTOT*Kr right obs]
+        # kill coordinates decode from the compaction map: row take[i] of
+        # the full [Wb*K | Wb*Kr] table, all on device
         K_keys = w.keys_per_kf
         Kr = w.right_obs_per_kf
-        n_left = WTOT * K_keys
-        obs_kill_kf_host = kf_slots[np.repeat(np.arange(WTOT), K_keys)]
-        obs_kill_key_host = np.tile(np.arange(K_keys, dtype=np.int32), WTOT)
-        obs_r_kill_kf_host = kf_slots[np.repeat(np.arange(WTOT), Kr)]
-        obs_r_kill_key_host = np.tile(np.arange(Kr, dtype=np.int32), WTOT)
+        n_left_full = Wb * K_keys
+        kf_slots_dev = jnp.asarray(kf_slots, jnp.int32)
+        is_right_row = take >= n_left_full
+        row_kf = kf_slots_dev[p.obs_kf]
+        key_left = jnp.where(is_right_row, 0, take % K_keys).astype(jnp.int32)
+        rem = jnp.maximum(take - n_left_full, 0)
+        key_right = jnp.where(is_right_row, rem % Kr, 0).astype(jnp.int32)
         with w.update_lock:
             w.arrays = map_state.writeback_ba(
                 w.arrays,
-                jnp.asarray(kf_slots, jnp.int32),
+                kf_slots_dev,
                 jnp.asarray(kf_valid),
                 p2.poses,
                 lm_slots_dev,
                 p.pt_valid,
                 p2.pts,
-                jnp.asarray(obs_kill_kf_host, jnp.int32),
-                jnp.asarray(obs_kill_key_host),
-                kill[:n_left],
-                jnp.asarray(obs_r_kill_kf_host, jnp.int32),
-                jnp.asarray(obs_r_kill_key_host),
-                kill[n_left:],
+                row_kf,
+                key_left,
+                kill & ~is_right_row,
+                row_kf,
+                key_right,
+                kill & is_right_row,
             )
         self.metrics.record("ba_dispatch", time.perf_counter() - t0)
         return {
@@ -816,11 +869,74 @@ class LocalMapper:
             "kf_slots": kf_slots,
             "kf_valid": kf_valid,
             "old_pose": old_last_pose,
-            "kill_kf": obs_kill_kf_host,
-            "kill_key": obs_kill_key_host,
-            "kill_r_kf": obs_r_kill_kf_host,
-            "kill_r_key": obs_r_kill_key_host,
+            "obs_cap": int(take.shape[0]),
         }
+
+    def run_global(self, max_landmarks: int = 1 << 15) -> dict | None:
+        """GLOBAL bundle adjustment: one 2-round Schur LM over EVERY valid
+        keyframe and every landmark they observe.
+
+        The reference's GTSAM window BA cannot grow past ~11 keyframes in
+        its 20 ms budget (reference src/OptimizationBA.cpp:963-967); here
+        the same fused kernel scales to the whole trajectory — the Schur
+        reduction is a sum of per-landmark blocks, so on a device mesh the
+        landmark slabs shard with one psum of the (6W)^2 reduced system
+        per iteration (SURVEY.md §5 "long-context": window growth via
+        keyframe/landmark-block sharding instead of windowing). Typical
+        use: a final map refinement after a sequence (driver --global-ba),
+        or periodic full-map polish. Returns re-anchoring info like
+        :meth:`finish`, or None with fewer than 2 keyframes."""
+        t0 = time.perf_counter()
+        w = self.world
+        n = w.n_keyframes
+        if n < 2:
+            return None
+        window = np.arange(n, dtype=np.int64)
+        Wg = _round_cap(n, 4, w.kf_capacity)
+        kf_slots = np.concatenate([window, np.zeros(Wg - n, np.int64)])
+        kf_valid = np.concatenate([np.ones(n, bool), np.zeros(Wg - n, bool)])
+        # gauge: the world origin only — everything else floats
+        fixed = np.zeros(Wg, bool)
+        fixed[0] = True
+        odo_mask = np.zeros(max(Wg - 1, 1), bool)
+        odo_mask[: n - 1] = True
+
+        tbl = w.kf_obs_lm[:n]
+        tbl_r = w.kf_obs_r_lm[:n]
+        ids = np.unique(np.concatenate([tbl[tbl >= 0], tbl_r[tbl_r >= 0]]))
+        ids = ids[:max_landmarks]
+        n_ids = len(ids)
+        if n_ids == 0:
+            return None
+        L_cap = _round_cap(n_ids, 1024, max(max_landmarks, 1024))
+        sentinel = w.lm_capacity
+        lm_ids = np.concatenate([ids, np.full(L_cap - n_ids, sentinel, np.int64)])
+        lm_pad_valid = np.arange(L_cap) < n_ids
+
+        n_obs = int((tbl >= 0).sum()) + int((tbl_r >= 0).sum())
+        full_rows = Wg * (w.keys_per_kf + w.right_obs_per_kf)
+        obs_cap = _round_cap(n_obs + 1024, 4096, full_rows)
+
+        cfg = self.cfg
+        p, lm_safe, take = _assemble_device(
+            w.arrays,
+            jnp.asarray(kf_slots, jnp.int32),
+            jnp.asarray(kf_valid),
+            jnp.asarray(lm_ids, jnp.int32),
+            jnp.asarray(lm_pad_valid),
+            jnp.asarray(fixed),
+            jnp.asarray(odo_mask),
+            self.K,
+            self.baseline,
+            lm_capacity=w.lm_capacity,
+            n_levels=cfg.n_levels,
+            scale=cfg.scale,
+            obs_cap=obs_cap,
+        )
+        pending = self._dispatch_problem(
+            p, kf_slots, kf_valid, lm_safe, take, int(n - 1), False, None, t0
+        )
+        return self.finish(pending)
 
     def finish(self, pending: dict) -> dict:
         """Consume a :meth:`run_async` handle: fetch the packed result blobs
@@ -829,9 +945,11 @@ class LocalMapper:
         t0 = time.perf_counter()
         w = self.world
         kf_slots, kf_valid = pending["kf_slots"], pending["kf_valid"]
+        Wb = len(kf_slots)
+        O_cap = pending["obs_cap"]
         K_keys = w.keys_per_kf
         Kr = w.right_obs_per_kf
-        n_left = WTOT * K_keys
+        n_left_full = Wb * K_keys
         with w.update_lock:
             # consume the triangulation blob first (its copy started before
             # the BA was dispatched, so it lands first); this also updates
@@ -841,24 +959,25 @@ class LocalMapper:
                 if pending["tri"] is not None
                 else np.zeros(0, np.int64)
             )
-            # host mirrors: ONE packed fetch [poses | kill | err]
+            # host mirrors: ONE packed fetch [poses | kill | take | err]
             blob = np.asarray(pending["host_pack"])
-            new_poses = blob[: WTOT * 16].reshape(WTOT, 4, 4)
-            kill_all = blob[WTOT * 16 : WTOT * 16 + n_left + WTOT * Kr] > 0.5
-            kill_host = kill_all[:n_left]
-            kill_r_host = kill_all[n_left:]
+            new_poses = blob[: Wb * 16].reshape(Wb, 4, 4)
+            kill = blob[Wb * 16 : Wb * 16 + O_cap] > 0.5
+            take = blob[Wb * 16 + O_cap : Wb * 16 + 2 * O_cap].astype(np.int64)
             err = float(blob[-1])
             for i, (slot, v) in enumerate(zip(kf_slots, kf_valid)):
                 if v:
                     w.kf_poses_host[slot] = new_poses[i]
+            # kill coordinates decode from the compaction map (take[i] is a
+            # row of the full [Wb*K | Wb*Kr] table)
+            kill_host = kill & (take < n_left_full)
+            kill_r_host = kill & (take >= n_left_full)
             if kill_host.any():
-                kkf = pending["kill_kf"][kill_host]
-                kkey = pending["kill_key"][kill_host]
-                w.kf_obs_lm[kkf, kkey] = -1
+                t = take[kill_host]
+                w.kf_obs_lm[kf_slots[t // K_keys], t % K_keys] = -1
             if kill_r_host.any():
-                kkf = pending["kill_r_kf"][kill_r_host]
-                kkey = pending["kill_r_key"][kill_r_host]
-                w.kf_obs_r_lm[kkf, kkey] = -1
+                t = take[kill_r_host] - n_left_full
+                w.kf_obs_r_lm[kf_slots[t // Kr], t % Kr] = -1
             self.ba_count += 1
         self.metrics.record("ba_finish", time.perf_counter() - t0)
         self.counters.inc("ba_solves")

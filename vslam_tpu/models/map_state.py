@@ -41,6 +41,13 @@ class MapArrays:
     lm_maxdist: jax.Array  # (P,) f32 scale band upper
     lm_mindist: jax.Array  # (P,) f32 scale band lower
     lm_valid: jax.Array  # (P,) bool
+    # running per-bit sum of +-1 descriptors over the observation set +
+    # observation count: the representative descriptor is the per-bit
+    # MAJORITY = the true binary median the reference recomputes from
+    # scratch per observation set (MapPoint::calcDescriptor,
+    # src/Map.cpp:145-210) — here O(1) incremental
+    lm_bitsum: jax.Array  # (P, 256) int16
+    lm_nobs: jax.Array  # (P,) int16
     kf_pose: jax.Array  # (W, 4, 4) f32 cam-to-world
     kf_valid: jax.Array  # (W,) bool
     obs_uv: jax.Array  # (W, K, 3) f32 [u_l, v_l, u_r]
@@ -71,6 +78,8 @@ def make_map(
         lm_maxdist=jnp.zeros((P,), jnp.float32),
         lm_mindist=jnp.zeros((P,), jnp.float32),
         lm_valid=jnp.zeros((P,), bool),
+        lm_bitsum=jnp.zeros((P, 256), jnp.int16),
+        lm_nobs=jnp.zeros((P,), jnp.int16),
         kf_pose=jnp.tile(jnp.eye(4, dtype=jnp.float32), (W, 1, 1)),
         kf_valid=jnp.zeros((W,), bool),
         obs_uv=jnp.zeros((W, K, 3), jnp.float32),
@@ -107,18 +116,40 @@ def scatter_landmarks(
         lm_maxdist=m.lm_maxdist.at[s].set(maxdist),
         lm_mindist=m.lm_mindist.at[s].set(mindist),
         lm_valid=m.lm_valid.at[s].set(valid).at[dump].set(False),
+        lm_bitsum=m.lm_bitsum.at[s].set(desc.astype(jnp.int16)),
+        lm_nobs=m.lm_nobs.at[s].set(1),
     )
 
 
-@jax.jit
-def refresh_descriptors(m: MapArrays, ids: jax.Array, desc: jax.Array) -> MapArrays:
-    """Update representative descriptors for landmarks (MapPoint::
-    calcDescriptor analog, src/Map.cpp:145-210). ids < 0 are dropped."""
+@functools.partial(jax.jit, static_argnames=("majority",))
+def refresh_descriptors(
+    m: MapArrays, ids: jax.Array, desc: jax.Array, majority: bool = True
+) -> MapArrays:
+    """Fold one new view's descriptor per landmark into the landmark's
+    representative descriptor (MapPoint::calcDescriptor analog,
+    src/Map.cpp:145-210). majority=True keeps the reference's semantics —
+    the observation-set MEDIAN descriptor, which for +-1 bits is the
+    per-bit majority, maintained as an O(1) incremental bit-sum (ties
+    fall to the newest view's bit). majority=False refreshes to the
+    newest view outright (cheaper; tracks appearance drift faster but
+    flickers under viewpoint oscillation). The bit-sum accumulator is
+    maintained either way so the policy can be switched per call.
+    ids < 0 are dropped."""
     P = m.lm_pos.shape[0]
-    s = jnp.where(ids >= 0, ids, P - 1)
-    return dataclasses.replace(m, lm_desc=m.lm_desc.at[s].set(
-        jnp.where((ids >= 0)[:, None], desc, m.lm_desc[s])
-    ))
+    s = jnp.where(ids >= 0, ids, P)  # out of range -> dropped
+    d16 = desc.astype(jnp.int16)
+    bitsum = m.lm_bitsum.at[s].add(d16, mode="drop")
+    nobs = m.lm_nobs.at[s].add(1, mode="drop")
+    if majority:
+        safe = jnp.where(ids >= 0, ids, 0)
+        bs = bitsum[safe]
+        new_desc = jnp.where(bs > 0, 1, jnp.where(bs < 0, -1, desc)).astype(jnp.int8)
+    else:
+        new_desc = desc
+    lm_desc = m.lm_desc.at[s].set(new_desc, mode="drop")
+    return dataclasses.replace(
+        m, lm_desc=lm_desc, lm_bitsum=bitsum, lm_nobs=nobs
+    )
 
 
 @jax.jit
@@ -189,8 +220,29 @@ def writeback_ba(
     obs_lm = m.obs_lm.at[kk, obs_kill_key].set(-1, mode="drop")
     rkk = jnp.where(obs_r_kill, obs_r_kill_kf, W)
     obs_r_lm = m.obs_r_lm.at[rkk, obs_r_kill_key].set(-1, mode="drop")
+    # majority-descriptor upkeep: a severed (wrong-match) observation
+    # leaves the landmark's observation set, so its descriptor leaves the
+    # running bit-sum too — the reference gets this for free by
+    # recomputing the median from the surviving kFMatches
+    # (src/Map.cpp:145-210); without the subtraction one chi-squared-
+    # killed wrong match would poison the majority forever. Right-camera
+    # observations never contribute descriptors (the right table stores
+    # no BRIEF), so only left kills are folded.
+    kkf_s = jnp.where(obs_kill, obs_kill_kf, 0)
+    kkey_s = jnp.where(obs_kill, obs_kill_key, 0)
+    lm_of = m.obs_lm[kkf_s, kkey_s]  # pre-sever landmark of each killed row
+    d16 = m.obs_desc[kkf_s, kkey_s].astype(jnp.int16)
+    P_lm = m.lm_pos.shape[0]
+    tgt = jnp.where(obs_kill & (lm_of >= 0), lm_of, P_lm)
+    lm_bitsum = m.lm_bitsum.at[tgt].add(-d16, mode="drop")
+    lm_nobs = m.lm_nobs.at[tgt].add(-1, mode="drop")
+    tgt_safe = jnp.where(tgt < P_lm, tgt, 0)
+    bs = lm_bitsum[tgt_safe]
+    maj = jnp.where(bs > 0, 1, jnp.where(bs < 0, -1, m.lm_desc[tgt_safe])).astype(jnp.int8)
+    lm_desc = m.lm_desc.at[tgt].set(maj, mode="drop")
     return dataclasses.replace(
-        m, kf_pose=kf_pose, lm_pos=lm_pos, obs_lm=obs_lm, obs_r_lm=obs_r_lm
+        m, kf_pose=kf_pose, lm_pos=lm_pos, obs_lm=obs_lm, obs_r_lm=obs_r_lm,
+        lm_bitsum=lm_bitsum, lm_nobs=lm_nobs, lm_desc=lm_desc,
     )
 
 
@@ -296,6 +348,8 @@ class WorldMap:
                 lm_maxdist=jnp.concatenate([m.lm_maxdist, jnp.zeros((add,), jnp.float32)]),
                 lm_mindist=jnp.concatenate([m.lm_mindist, jnp.zeros((add,), jnp.float32)]),
                 lm_valid=jnp.concatenate([m.lm_valid, jnp.zeros((add,), bool)]),
+                lm_bitsum=jnp.concatenate([m.lm_bitsum, jnp.zeros((add, 256), jnp.int16)]),
+                lm_nobs=jnp.concatenate([m.lm_nobs, jnp.zeros((add,), jnp.int16)]),
             )
             self.lm_first_kf = np.concatenate(
                 [self.lm_first_kf, np.full(add, -1, np.int64)]

@@ -229,6 +229,18 @@ class VSlamSystem:
         self.tracker.flush()
         self._consume_ba_results(force=True)
 
+    def global_ba(self) -> dict | None:
+        """Full-map refinement: one 2-round Schur LM over every keyframe
+        and landmark (LocalMapper.run_global — a capability the
+        reference's fixed ~11-KF window never had). Drains in-flight work
+        first; re-anchors the live tracker to the refined last-KF pose so
+        tracking can continue afterwards."""
+        self.exit()
+        r = self.mapper.run_global()
+        if r is not None:
+            self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+        return r
+
     # ------------------------------------------------------------------
     def trajectory(self) -> np.ndarray:
         return self.tracker.trajectory()

@@ -91,6 +91,10 @@ class TrackerParams:
     many_keys: int = 350
     outlier_age: int = 20
     close_factor: float = 40.0
+    # representative landmark descriptor policy: True = observation-set
+    # per-bit majority (the reference's median, src/Map.cpp:145-210),
+    # False = newest-view refresh. A/B'd in tests/test_tracking.py.
+    desc_majority: bool = True
     # dispatch pipeline depth: 1 = host processes frame N-1 while the device
     # computes frame N (hides the host<->device handshake); 0 = synchronous
     # depth 2: the result blob of frame f is fetched while frames f+1, f+2
@@ -1154,7 +1158,8 @@ class StereoTracker:
                 data["spawn_valid"],
             )
             w.arrays = map_state.refresh_descriptors(
-                w.arrays, data["refresh_ids"], data["refresh_desc"]
+                w.arrays, data["refresh_ids"], data["refresh_desc"],
+                majority=self.params.desc_majority,
             )
             w.arrays = map_state.scatter_keyframe(
                 w.arrays,

@@ -20,7 +20,7 @@ import numpy as np
 
 from vslam_tpu.models import map_state
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: majority-descriptor accumulator fields (lm_bitsum, lm_nobs)
 
 
 def save_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> None:
