@@ -127,6 +127,13 @@ def measure_ba_solves(trk, mapper, n=6):
 
 
 def main():
+    # wall-clock budget (round 2 lesson: the driver's bench slot timed out
+    # at 9.5 min and recorded NO number — rc 124, parsed null; a slow
+    # optional tail must never zero the primary metric again). The KITTI
+    # variant runs only if the budget allows, and the ONE JSON line is
+    # printed even if an optional section dies.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "210"))
     _setup_cache()
     from vslam_tpu.models import tracker
     from vslam_tpu.utils import synthetic
@@ -138,19 +145,39 @@ def main():
     )
     params = tracker.TrackerParams(n_features=1024, n_levels=8, active_size=4096)
     fps, ate, trk, mapper = run_pipeline(scene, params, n_frames, warmup)
-    ba_solves_per_s = measure_ba_solves(trk, mapper)
-    track_stats = trk.metrics.summary().get("track", {})
+    extra = {
+        "ate_rmse_m_synthetic": round(ate, 4),
+        "n_keyframes": trk.world.n_keyframes,
+        "n_landmarks": trk.world.n_landmarks,
+        "ba_runs": mapper.ba_count,
+    }
+    try:
+        extra["local_ba_solves_per_s"] = round(measure_ba_solves(trk, mapper), 2)
+        track_stats = trk.metrics.summary().get("track", {})
+        extra["track_ms_p50"] = track_stats.get("p50_ms")
+        extra["track_ms_p90"] = track_stats.get("p90_ms")
 
-    # --- KITTI geometry (reference: 2000 features @ 1241x376, 10 fps;
-    # padded to 1248x384 = multiples of the 8x128 vector lanes) ---
-    nk, wk = 40, 10
-    scene_k = synthetic.make_scene(
-        n_frames=nk, n_points=900, width=1248, height=384, fps=10.0, seed=5
-    )
-    params_k = tracker.TrackerParams(n_features=2048, n_levels=8, active_size=4096)
-    fps_kitti, ate_kitti, _, _ = run_pipeline(scene_k, params_k, nk, wk)
+        # --- KITTI geometry (reference: 2000 features @ 1241x376, 10 fps;
+        # padded to 1248x384 = multiples of the 8x128 vector lanes) ---
+        if time.perf_counter() - t_start < budget_s:
+            nk, wk = 40, 10
+            scene_k = synthetic.make_scene(
+                n_frames=nk, n_points=900, width=1248, height=384, fps=10.0, seed=5
+            )
+            params_k = tracker.TrackerParams(
+                n_features=2048, n_levels=8, active_size=4096
+            )
+            fps_kitti, ate_kitti, _, _ = run_pipeline(scene_k, params_k, nk, wk)
+            extra["kitti_2048feat_fps"] = round(fps_kitti, 2)
+            extra["kitti_vs_10fps_target"] = round(fps_kitti / 10.0, 3)
+            extra["kitti_ate_rmse_m"] = round(ate_kitti, 4)
+        else:
+            extra["kitti_skipped"] = "over time budget"
+    except Exception as e:  # optional sections must not zero the metric
+        extra["optional_section_error"] = repr(e)[:200]
 
     baseline_fps = 20.0  # EuRoC real-time intent (no published numbers)
+    extra["wall_s"] = round(time.perf_counter() - t_start, 1)
     print(
         json.dumps(
             {
@@ -158,18 +185,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3),
-                "extra": {
-                    "ate_rmse_m_synthetic": round(ate, 4),
-                    "n_keyframes": trk.world.n_keyframes,
-                    "n_landmarks": trk.world.n_landmarks,
-                    "ba_runs": mapper.ba_count,
-                    "local_ba_solves_per_s": round(ba_solves_per_s, 2),
-                    "track_ms_p50": track_stats.get("p50_ms"),
-                    "track_ms_p90": track_stats.get("p90_ms"),
-                    "kitti_2048feat_fps": round(fps_kitti, 2),
-                    "kitti_vs_10fps_target": round(fps_kitti / 10.0, 3),
-                    "kitti_ate_rmse_m": round(ate_kitti, 4),
-                },
+                "extra": extra,
             }
         )
     )

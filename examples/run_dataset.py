@@ -89,6 +89,9 @@ def main():
     ap.add_argument("--ply", default=None, help="PLY point-cloud output path")
     ap.add_argument("--global-ba", action="store_true",
                     help="final full-map bundle adjustment before saving")
+    ap.add_argument("--shards", default=None,
+                    help="shard the local BA over an N-device mesh "
+                         "('auto' = all visible devices)")
     args = ap.parse_args()
 
     conf = ConfigFile(args.config)
@@ -108,8 +111,12 @@ def main():
     if use_native and not conf.rectified:
         maps = _host_rectify_maps(conf, mono)
 
+    shards = args.shards
+    if shards is not None and shards != "auto":
+        shards = int(shards)
     system = VSlamSystem(
-        conf, async_ba=args.async_ba, io_rectified=maps is not None
+        conf, async_ba=args.async_ba, io_rectified=maps is not None,
+        shards=shards,
     )
     ds = open_dataset(conf, args.data_root)
     start = 0

@@ -237,7 +237,8 @@ def test_close_spawn_cap_per_keyframe(scene):
     """Non-init keyframes spawn at most max_spawn_close new close-stereo
     landmarks (reference maxAddedStereo = 100,
     include/FeatureTracker.h:46, src/FeatureTracker.cpp:743-842); the cap
-    keeps the CLOSEST candidates (depth rank). Map init is exempt — the
+    is applied in scan order (a documented deviation from the reference's
+    depth-first ranking — see _prepare_keyframe). Map init is exempt — the
     reference's initializeMap seeds every stereo match
     (src/FeatureTracker.cpp:72-123)."""
     params = tracker.TrackerParams(
@@ -265,6 +266,56 @@ def test_close_spawn_cap_per_keyframe(scene):
     trk.flush()
     assert len(deltas) >= 1, "no non-init keyframe was ever created"
     assert all(d <= 8 for d in deltas), deltas
+
+
+def test_blackout_recovery_reseeds_map(small_params):
+    """Lost-tracking RECOVERY (VERDICT r2 #3; the reference has nothing
+    here, SURVEY.md §5): a mid-sequence blackout (fully dark frames)
+    followed by an unrecognizable scene ("teleport" — none of the old
+    landmarks exist anymore) must not dead-reckon forever. After
+    `reseed_after` consecutive refused solves on frames WITH stereo
+    features, the tracker inserts a re-seed keyframe from fresh stereo
+    depth at the dead-reckoned pose (spawn cap waived) and tracking
+    resumes — consistent relative motion in the new map frame."""
+    scene1 = synthetic.make_scene(
+        n_frames=8, n_points=400, width=320, height=240, fps=10.0, seed=7
+    )
+    scene2 = synthetic.make_scene(
+        n_frames=12, n_points=400, width=320, height=240, fps=10.0, seed=23
+    )
+    p = small_params
+    world = map_state.WorldMap(
+        lm_capacity=8192, kf_capacity=64, keys_per_kf=p.n_features
+    )
+    trk = tracker.StereoTracker(
+        scene1.K.astype(np.float32), scene1.baseline, scene1.width,
+        scene1.height, world, p,
+    )
+    black = np.zeros((scene1.height, scene1.width), np.float32)
+    n1, n_black, n2 = 6, 3, 10
+    for f in range(n1):
+        trk.track(scene1.render(f), scene1.render(f, right=True))
+    for _ in range(n_black):
+        trk.track(black, black)
+    kfs_before = len(trk.new_kf_slots)
+    for f in range(n2):
+        trk.track(scene2.render(f), scene2.render(f, right=True))
+    trk.flush()
+    # a re-seed keyframe was inserted in the unrecognizable segment
+    assert len(trk.new_kf_slots) > kfs_before, "re-seed keyframe never fired"
+    # tracking actually recovered: the last processed frame has real inliers
+    assert trk.last_stats["n_inliers"] >= p.min_inliers, trk.last_stats
+    assert trk.lost_streak == 0
+    # post-recovery motion is consistent with scene2's ground truth up to
+    # the (unobservable) rigid offset accumulated during the blackout:
+    # compare RELATIVE poses within the recovered segment
+    poses = trk.trajectory()
+    rec0 = n1 + n_black + (n2 - 4)  # well after the re-seed settled
+    est_rel = np.linalg.inv(poses[rec0]) @ poses[-1]
+    gt = scene2.poses_c2w
+    gt_rel = np.linalg.inv(gt[rec0 - n1 - n_black]) @ gt[n2 - 1]
+    t_err = np.linalg.norm(est_rel[:3, 3] - gt_rel[:3, 3])
+    assert t_err < 0.15, (t_err, est_rel[:3, 3], gt_rel[:3, 3])
 
 
 def test_tracking_survives_hard_scene(small_params):

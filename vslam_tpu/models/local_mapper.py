@@ -36,8 +36,13 @@ WTOT = WINDOW + ANCHORS  # total pose slots in a BA problem (static shape)
 
 
 def _round_cap(n: int, lo: int, hi: int) -> int:
-    """Smallest power-of-two multiple of `lo` >= n, clamped to [lo, hi] —
-    a small menu of static shapes keeps recompilation bounded."""
+    """Smallest power-of-two multiple of `lo` >= n, clamped to [lo, hi].
+
+    Used ONLY by offline paths (run_global): the live mapper pins ONE
+    (obs_cap, L_cap) shape per instance instead — round 2 let these caps
+    step mid-run as the map grew, and every threshold crossing recompiled
+    the fused 2-round BA + _assemble_device inside the timed frame loop
+    (multi-second TPU compiles that regressed the bench ~10x)."""
     c = lo
     while c < n and c < hi:
         c *= 2
@@ -122,11 +127,12 @@ def _assemble_device(
 
     all_hit = jnp.concatenate([hit, hit_r])
     # stable: live rows keep their original relative order; ties broken by
-    # row index, so overflow (more live rows than obs_cap — prevented by
-    # the host's margin-padded size estimate) drops the LAST right-camera
-    # rows rather than scrambling
+    # row index, so overflow (more live rows than obs_cap) drops the LAST
+    # right-camera rows rather than scrambling. n_live travels back to the
+    # host so truncation is OBSERVABLE (a counter + log), never silent.
     take = jnp.argsort(~all_hit)[:obs_cap].astype(jnp.int32)
     ok = all_hit[take]
+    n_live = jnp.sum(all_hit).astype(jnp.int32)
     p = schur.BAProblem(
         poses=poses,
         fixed=fixed,
@@ -147,7 +153,7 @@ def _assemble_device(
         odo_rel=odo_rel,
         odo_valid=odo_valid,
     )
-    return p, lm_safe, take
+    return p, lm_safe, take, n_live
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels", "scale"))
@@ -488,26 +494,55 @@ def _apply_triangulation(
     key_views: jax.Array,  # (V-1, Kk)
 ):
     """Write new landmark ids into the newest KF's and the older views'
-    observation tables."""
+    observation tables, AND fold each older view's key descriptor into the
+    landmark's majority accumulator (lm_bitsum/lm_nobs): every observation
+    that enters a landmark's set must contribute to the bit-sum, because
+    writeback_ba SUBTRACTS it again when a chi-squared kill severs the
+    observation — without the fold here, killing a triangulated view
+    subtracted a never-added descriptor, drifting lm_nobs negative and the
+    majority away from the true observation-set median over long runs.
+    (The newest KF's own view is already folded: scatter_landmarks seeds
+    lm_bitsum with the spawn descriptor = that key's descriptor.)"""
     V = window_slots.shape[0]
     newest = window_slots[V - 1]
     Kk = slot_of_cand.shape[0]
+    P = m.lm_pos.shape[0]
     # newest KF: candidate key j -> its own slot
     has = slot_of_cand >= 0
     new_row = jnp.where(has, slot_of_cand, m.obs_lm[newest])
     obs_lm = m.obs_lm.at[newest].set(new_row)
+
     # older views: key_views[v, j] observes slot_of_cand[j]
-    def body(v, obs_lm):
+    def body(v, carry):
+        obs_lm, bitsum, nobs = carry
         slot = window_slots[v]
         kv = key_views[v]
         okv = (kv >= 0) & has
         tgt_key = jnp.where(okv, kv, Kk)  # index Kk is out of bounds -> drop
-        return obs_lm.at[slot, tgt_key].set(
+        obs_lm = obs_lm.at[slot, tgt_key].set(
             jnp.where(okv, slot_of_cand, -1), mode="drop"
         )
+        d16 = m.obs_desc[slot, jnp.where(okv, kv, 0)].astype(jnp.int16)
+        tgt_lm = jnp.where(okv, slot_of_cand, P)
+        bitsum = bitsum.at[tgt_lm].add(d16, mode="drop")
+        nobs = nobs.at[tgt_lm].add(1, mode="drop")
+        return obs_lm, bitsum, nobs
 
-    obs_lm = jax.lax.fori_loop(0, V - 1, body, obs_lm)
-    return dataclasses.replace(m, obs_lm=obs_lm)
+    obs_lm, bitsum, nobs = jax.lax.fori_loop(
+        0, V - 1, body, (obs_lm, m.lm_bitsum, m.lm_nobs)
+    )
+    # refresh the representative descriptor of the spawned slots to the
+    # new multi-view majority (ties keep the spawn descriptor)
+    tgt = jnp.where(has, slot_of_cand, P)
+    safe = jnp.where(has, slot_of_cand, 0)
+    bs = bitsum[safe]
+    maj = jnp.where(
+        bs > 0, 1, jnp.where(bs < 0, -1, m.lm_desc[safe])
+    ).astype(jnp.int8)
+    lm_desc = m.lm_desc.at[tgt].set(maj, mode="drop")
+    return dataclasses.replace(
+        m, obs_lm=obs_lm, lm_bitsum=bitsum, lm_nobs=nobs, lm_desc=lm_desc
+    )
 
 
 @dataclasses.dataclass
@@ -518,6 +553,13 @@ class LocalMapperConfig:
     iters_round2: int = 10
     n_levels: int = 8
     scale: float = 1.2
+    # PINNED problem shapes for the live local-BA path (one compiled
+    # program per LocalMapper instance — a per-size shape menu recompiles
+    # mid-run, each a multi-second TPU compile inside the frame loop).
+    # None -> obs_cap defaults to min(16384, full window rows) and lm_cap
+    # to LM_SLOTS. Overflow beyond obs_cap is counted + logged, not silent.
+    obs_cap: int | None = None
+    lm_cap: int | None = None
 
 
 class LocalMapper:
@@ -543,15 +585,19 @@ class LocalMapper:
         # bench.py for the local-BA solves/s metric)
         self.metrics = metrics_mod.StageTimer()
         self.counters = metrics_mod.Counters()
+        # pinned problem shapes: ONE compiled (obs_cap, L_cap) per instance
+        full_rows = WTOT * (world.keys_per_kf + world.right_obs_per_kf)
+        self._obs_cap = self.cfg.obs_cap or min(16384, full_rows)
+        self._lm_cap = self.cfg.lm_cap or LM_SLOTS
         self.mesh = mesh
         self._sharded = None
         if mesh is not None and mesh.devices.size > 1:
             from vslam_tpu.parallel import sharded_ba
 
             n = mesh.devices.size
-            if LM_SLOTS % n:
+            if self._lm_cap % n:
                 raise ValueError(
-                    f"mesh size {n} must divide landmark slots {LM_SLOTS}"
+                    f"mesh size {n} must divide landmark slots {self._lm_cap}"
                 )
             self._sharded = sharded_ba.sharded_two_rounds(
                 mesh, iters1=self.cfg.iters_round1, iters2=self.cfg.iters_round2
@@ -720,33 +766,29 @@ class LocalMapper:
         if extra_ids is not None and len(extra_ids):
             base = np.concatenate([base, np.asarray(extra_ids, np.int64)])
         ids = np.unique(base)
-        ids = ids[:LM_SLOTS]
+        # PINNED shapes (see LocalMapperConfig.obs_cap): the per-run caps
+        # never move, so _assemble_device + the fused 2-round BA compile
+        # exactly once per LocalMapper instance. Truncation is logged.
+        L_cap = self._lm_cap
+        obs_cap = self._obs_cap
+        if len(ids) > L_cap:
+            self.counters.inc("lm_slots_truncated", len(ids) - L_cap)
+            print(
+                f"[local_mapper] WARNING: window has {len(ids)} landmarks, "
+                f"truncating to lm_cap={L_cap} (newest kept)"
+            )
+            ids = ids[-L_cap:]  # keep the newest landmarks (still sorted)
         n_ids = len(ids)
-        # landmark-slot cap from a doubling menu (few distinct compiled
-        # shapes): the Schur reduction is O(L * (6W)^2), so a 4096-slot
-        # problem holding 900 live landmarks wastes 4x
-        L_cap = _round_cap(n_ids, 1024, LM_SLOTS)
         sentinel = w.lm_capacity  # > any slot: keeps the padded list sorted
         lm_ids = np.concatenate(
             [ids, np.full(L_cap - n_ids, sentinel, np.int64)]
         )
         lm_pad_valid = np.arange(L_cap) < n_ids
 
-        # observation-row cap: live rows counted from the host mirrors
-        # plus margin for in-flight triangulation obs the mirrors lag
-        live = np.asarray(kf_slots)[np.asarray(kf_valid)]
-        n_obs_est = (
-            int((w.kf_obs_lm[live] >= 0).sum())
-            + int((w.kf_obs_r_lm[live] >= 0).sum())
-            + 4 * SPAWN_TRI
-        )
-        full_rows = len(kf_slots) * (w.keys_per_kf + w.right_obs_per_kf)
-        obs_cap = _round_cap(n_obs_est, 4096, full_rows)
-
         # everything device-side fused into ONE program (each separate jnp op
         # is its own dispatch on the remote tunnel, ~1-2 ms of host overhead
         # apiece — the unfused form cost ~35 ms per BA run)
-        p, lm_safe, take = _assemble_device(
+        p, lm_safe, take, n_live = _assemble_device(
             w.arrays,
             jnp.asarray(kf_slots, jnp.int32),
             jnp.asarray(kf_valid),
@@ -761,7 +803,7 @@ class LocalMapper:
             scale=cfg.scale,
             obs_cap=obs_cap,
         )
-        return p, kf_slots, kf_valid, lm_safe, take
+        return p, kf_slots, kf_valid, lm_safe, take, n_live
 
     # ------------------------------------------------------------------
     def run(self, kf_slot: int, mono: bool = False) -> dict:
@@ -793,15 +835,17 @@ class LocalMapper:
         # zero host round trips between them
         pend = self._dispatch_triangulation(kf_slot, mono=mono)
         extra = pend["spawn"] if pend is not None else None
-        p, kf_slots, kf_valid, lm_slots_dev, take = self._assemble(
+        p, kf_slots, kf_valid, lm_slots_dev, take, n_live = self._assemble(
             kf_slot, extra_ids=extra
         )
         return self._dispatch_problem(
-            p, kf_slots, kf_valid, lm_slots_dev, take, kf_slot, mono, pend, t0
+            p, kf_slots, kf_valid, lm_slots_dev, take, n_live, kf_slot, mono,
+            pend, t0,
         )
 
     def _dispatch_problem(
-        self, p, kf_slots, kf_valid, lm_slots_dev, take, kf_slot, mono, pend, t0
+        self, p, kf_slots, kf_valid, lm_slots_dev, take, n_live, kf_slot, mono,
+        pend, t0,
     ) -> dict:
         """Dispatch the fused 2-round BA + write-back for an assembled
         problem (any W — the local window or the whole map for
@@ -822,12 +866,15 @@ class LocalMapper:
             p2, err, kill = schur.local_ba_two_rounds(
                 p, iters1=cfg.iters_round1, iters2=cfg.iters_round2
             )
+        # take rides as a BITCAST int32 (not a float cast — f32 is exact
+        # only to 2^24, and at >=8192 grown keyframes the flat row indices
+        # exceed that, silently severing the wrong observations on decode)
         host_pack = jnp.concatenate(
             [
                 p2.poses.reshape(-1),
                 kill.astype(jnp.float32),
-                take.astype(jnp.float32),  # maps kill rows -> table coords
-                err[None].astype(jnp.float32),
+                jax.lax.bitcast_convert_type(take, jnp.float32),
+                jnp.stack([err, n_live.astype(jnp.float32)]),
             ]
         )
         host_pack.copy_to_host_async()  # overlap with the writeback dispatch
@@ -918,7 +965,7 @@ class LocalMapper:
         obs_cap = _round_cap(n_obs + 1024, 4096, full_rows)
 
         cfg = self.cfg
-        p, lm_safe, take = _assemble_device(
+        p, lm_safe, take, n_live = _assemble_device(
             w.arrays,
             jnp.asarray(kf_slots, jnp.int32),
             jnp.asarray(kf_valid),
@@ -934,7 +981,8 @@ class LocalMapper:
             obs_cap=obs_cap,
         )
         pending = self._dispatch_problem(
-            p, kf_slots, kf_valid, lm_safe, take, int(n - 1), False, None, t0
+            p, kf_slots, kf_valid, lm_safe, take, n_live, int(n - 1), False,
+            None, t0,
         )
         return self.finish(pending)
 
@@ -959,12 +1007,24 @@ class LocalMapper:
                 if pending["tri"] is not None
                 else np.zeros(0, np.int64)
             )
-            # host mirrors: ONE packed fetch [poses | kill | take | err]
+            # host mirrors: ONE packed fetch [poses | kill | take | err, n_live]
             blob = np.asarray(pending["host_pack"])
             new_poses = blob[: Wb * 16].reshape(Wb, 4, 4)
             kill = blob[Wb * 16 : Wb * 16 + O_cap] > 0.5
-            take = blob[Wb * 16 + O_cap : Wb * 16 + 2 * O_cap].astype(np.int64)
-            err = float(blob[-1])
+            take = (
+                blob[Wb * 16 + O_cap : Wb * 16 + 2 * O_cap]
+                .view(np.int32)  # bitcast back (exact for any int32 index)
+                .astype(np.int64)
+            )
+            err = float(blob[-2])
+            n_live = int(blob[-1])
+            if n_live > O_cap:
+                self.counters.inc("obs_rows_truncated", n_live - O_cap)
+                print(
+                    f"[local_mapper] WARNING: {n_live} live observation rows "
+                    f"> obs_cap={O_cap}; {n_live - O_cap} rows (last "
+                    f"right-camera rows first) excluded from this BA"
+                )
             for i, (slot, v) in enumerate(zip(kf_slots, kf_valid)):
                 if v:
                     w.kf_poses_host[slot] = new_poses[i]

@@ -32,11 +32,18 @@ class VSlamSystem:
         kf_capacity: int = 1024,
         tracker_params: tracker.TrackerParams | None = None,
         io_rectified: bool = False,
+        shards: int | str | None = None,
     ):
         """`io_rectified=True` declares that incoming frames were already
         undistorted+rectified by the IO pipeline (native prefetcher with
         rectify maps) — the facade then skips its device-side remap even
-        for an unrectified config."""
+        for an unrectified config.
+
+        `shards`: run the local BA SHARDED over an N-device mesh
+        (`"auto"` = all visible devices) — the production path to the
+        distributed Schur BA (vslam_tpu.parallel.sharded_ba); the
+        reference's single GTSAM thread (src/System.cpp:18-19) has no
+        analog. None/1 = single-device BA."""
         self.conf = conf
         self.mode = mode if mode is not None else conf.slam_mode
         self.rig = cam.StereoCamera.from_config(conf)
@@ -89,6 +96,15 @@ class VSlamSystem:
                 K, self.rig.baseline, self.rig.width, self.rig.height, self.world,
                 params, imu_cfg=imu_cfg,
             )
+        mesh = None
+        if shards is not None and shards != 1:
+            import jax
+
+            from vslam_tpu.parallel import mesh as mesh_mod, sharded_ba
+
+            n = len(jax.devices()) if shards == "auto" else int(shards)
+            if n > 1:
+                mesh = mesh_mod.make_mesh(n, axis=sharded_ba.AXIS)
         self.mapper = local_mapper.LocalMapper(
             self.world,
             K,
@@ -96,6 +112,7 @@ class VSlamSystem:
             local_mapper.LocalMapperConfig(
                 n_levels=params.n_levels, scale=params.scale
             ),
+            mesh=mesh,
         )
 
         # rectification (EuRoC-style unrectified rigs)

@@ -22,8 +22,9 @@ Contracts kept (SURVEY.md §2 row 9 constants):
 - adaptive match radius 10 -> +30 (<= 3 retries), first frame 120,
   refine pass radius 4,
 - chi2 outlier threshold 7.815 with per-octave information,
-- KF policy: nStereo < 80, or every 5th frame with tracked-ratio < 0.9
-  (0.7 when > 350 keys), min inliers 50,
+- KF policy: (nStereo < 80 OR every 5th frame) AND tracked inliers <
+  0.9 x lastKFTracked (0.7 when > 350 keys), min inliers 50
+  (src/FeatureTracker.cpp:1262),
 - <= 100 new close-stereo landmarks per KF (maxAddedStereo spawn budget),
 - constant-velocity next-pose prediction (updatePoses, 1699-1708),
 - landmark outlier aging after 20 missed frames (setActiveOutliers,
@@ -90,6 +91,12 @@ class TrackerParams:
     kf_tracked_ratio_many: float = 0.7
     many_keys: int = 350
     outlier_age: int = 20
+    # consecutive lost (refused-solve) frames before the tracker re-seeds
+    # the map: it inserts a keyframe at the dead-reckoned pose with the
+    # spawn cap waived, so fresh stereo-depth landmarks re-anchor tracking
+    # (SURVEY.md §5: the reference has NO recovery — sustained occlusion
+    # dead-reckons forever)
+    reseed_after: int = 3
     close_factor: float = 40.0
     # representative landmark descriptor policy: True = observation-set
     # per-bit majority (the reference's median, src/Map.cpp:145-210),
@@ -437,13 +444,29 @@ def _track_step(
     # the signature is a solution implausibly far from the motion
     # prediction, or a threadbare inlier set. Such a solve is REFUSED:
     # the frame dead-reckons on the prediction, its matches are voided
-    # (so no wrong observations reach the keyframe table), and the low
-    # resulting inlier count lets the KF policy re-seed the map from
-    # fresh stereo depth at the predicted pose.
+    # (so no wrong observations reach the keyframe table), and after
+    # `reseed_after` consecutive lost frames the host inserts a RE-SEED
+    # keyframe from fresh stereo depth at the dead-reckoned pose
+    # (StereoTracker._process), restoring a trackable map.
     pred_step = jnp.linalg.norm(T_pred[:3, 3] - pose_prev[:3, 3])
     sol_jump = jnp.linalg.norm(T_opt[:3, 3] - T_pred[:3, 3])
-    lost = (n_i < min_inliers // 2) | (
-        sol_jump > jnp.maximum(10.0 * pred_step, 1.0)
+    # the absolute floor scales with the SCENE (median active-landmark
+    # match distance ~ median landmark depth), not a hardcoded meter
+    # count: in mono mode the map scale is arbitrary, so a fixed 1.0
+    # either mis-fires on valid solves or never fires
+    scene = jnp.nanmedian(jnp.where(active["valid"], active["maxdist"], jnp.nan))
+    scene = jnp.where(jnp.isfinite(scene), scene, 20.0)
+    t_floor = jnp.maximum(10.0 * pred_step, 0.05 * scene)
+    # rotation-jump term: a wrong-basin solve that is mostly rotational
+    # has a tiny translation jump — compare geodesic angles too
+    R_rel = T_pred[:3, :3].T @ T_opt[:3, :3]
+    ang_jump = jnp.arccos(jnp.clip((jnp.trace(R_rel) - 1.0) * 0.5, -1.0, 1.0))
+    R_step = pose_prev[:3, :3].T @ T_pred[:3, :3]
+    pred_ang = jnp.arccos(jnp.clip((jnp.trace(R_step) - 1.0) * 0.5, -1.0, 1.0))
+    lost = (
+        (n_i < min_inliers // 2)
+        | (sol_jump > t_floor)
+        | (ang_jump > jnp.maximum(10.0 * pred_ang, 0.35))
     )
     T_opt = jnp.where(lost, T_pred, T_opt)
     v_opt = jnp.where(lost, v0, v_opt)
@@ -470,17 +493,19 @@ def _track_step(
         "miss_age": miss_age,
     }
 
-    stats = jnp.stack(
+    stats = jnp.concatenate(
         [
-            n_m,
-            n_i,
-            n_st,
-            jnp.sum(keys.valid).astype(jnp.int32),
-            jnp.sum(st["matched"]).astype(jnp.int32),
+            jnp.stack([n_m, n_i, n_st]).astype(jnp.float32),
+            jnp.stack(
+                [jnp.sum(keys.valid), jnp.sum(st["matched"])]
+            ).astype(jnp.float32),
+            # failure-gate diagnostics (SURVEY.md §5 observability): why a
+            # frame was refused is host-visible without extra fetches
+            jnp.stack([sol_jump, ang_jump, t_floor]),
         ]
-    ).astype(jnp.float32)
+    )
     # the ONE device->host transfer per frame:
-    # [pose 16 | vel 3 | bias 6 | stats 5 | miss_age A]
+    # [pose 16 | vel 3 | bias 6 | stats 8 | miss_age A]
     blob = jnp.concatenate(
         [
             T_opt.reshape(-1),
@@ -606,19 +631,21 @@ def _prepare_keyframe(
     # to anchor the map; multi-view triangulation covers them once the
     # window offers real baselines)
     cand = keys.valid & st_close & (key_lm < 0) & ~near_existing & (st_depth > 0)
-    # rank candidates in SCAN ORDER (key index), like the reference's
-    # insertKeyFrame loop (src/FeatureTracker.cpp:743-842) — not by
-    # closest depth: depth-first ranking concentrates the whole spawn
-    # budget on the nearest structure, and near occlusion boundaries the
-    # nearest "corners" are view-dependent T-junctions whose stereo depth
-    # is fictitious; scan order keeps the spawns spatially spread
+    # INTENTIONAL DEVIATION from the reference: its insertKeyFrame sorts
+    # spawn candidates by ASCENDING DEPTH and exempts close keys from the
+    # maxAddedStereo cap (src/FeatureTracker.cpp:802-809, 830-833); here
+    # candidates rank in SCAN ORDER (key index). Rationale: depth-first
+    # ranking concentrates the whole spawn budget on the nearest
+    # structure, and near occlusion boundaries the nearest "corners" are
+    # view-dependent T-junctions whose stereo depth is fictitious; scan
+    # order keeps the spawns spatially spread.
     order = jnp.argsort(jnp.where(cand, jnp.arange(cand.shape[0], dtype=jnp.float32), jnp.inf))
     take = order[:spawn]
     take_valid = cand[take] & spawn_avail
     # cap to the reference's per-KF budget (maxAddedStereo = 100,
-    # include/FeatureTracker.h:46) by depth rank: the closest max_close
-    # candidates win, the rest of the preallocated slot block is released
-    # by the caller
+    # include/FeatureTracker.h:46), applied in the same scan order: the
+    # first max_close candidates win, the rest of the preallocated slot
+    # block is released by the caller
     rank = jnp.cumsum(take_valid.astype(jnp.int32)) - 1
     take_valid = take_valid & (rank < max_close)
 
@@ -822,6 +849,7 @@ class StereoTracker:
         self.last_kf_tracked = 0
         self.last_kf_frame = 0
         self.last_kf_slot = -1
+        self.lost_streak = 0  # consecutive refused-solve frames (recovery)
         self.last_stats = {}
         # host active-set bookkeeping (layout for the NEXT dispatch)
         self.active_ids = np.full(p.active_size, -1, np.int64)
@@ -988,19 +1016,46 @@ class StereoTracker:
         n_m, n_inl, n_stereo_inl, n_keys, n_stereo_keys = (
             int(x) for x in blob[25:30]
         )
-        ages = blob[30 : 30 + A].astype(np.int64)
+        ages = blob[33 : 33 + A].astype(np.int64)
         self.last_stats = {
             "n_matched": n_m,
             "n_inliers": n_inl,
             "n_stereo_inliers": n_stereo_inl,
             "n_keys": n_keys,
             "n_stereo_keys": n_stereo_keys,
+            "sol_jump": float(blob[30]),
+            "ang_jump": float(blob[31]),
+            "gate_floor": float(blob[32]),
         }
 
-        if self._kf_decision(frame_idx, n_keys, n_inl, n_stereo_inl):
-            self._insert_keyframe(frame_idx, pose, outputs, layout, ages)
-            self.last_kf_tracked = n_inl
+        # lost-tracking recovery: after `reseed_after` consecutive refused
+        # solves, waive the inlier floor and RE-SEED the map — a keyframe
+        # at the dead-reckoned pose whose close-stereo spawns are uncapped
+        # (like frame-0 map init). The reference has nothing here
+        # (SURVEY.md §5: sustained occlusion dead-reckons forever).
+        lost = n_inl < p.min_inliers // 2
+        self.lost_streak = self.lost_streak + 1 if lost else 0
+        reseed = (
+            not self._mono
+            and self.lost_streak >= p.reseed_after
+            and n_stereo_keys >= p.kf_min_stereo
+            # frames dispatched before the previous re-seed's landmarks
+            # went live cannot have matched them — don't stack a second
+            # re-seed (near-duplicate landmarks make the ratio test
+            # reject everything) on their artifact-low counts; the extra
+            # reseed_after spacing gives the fresh map time to prove
+            # itself before it is declared failed again
+            and frame_idx - self.last_kf_frame > p.pipeline_depth + p.reseed_after
+        )
+        if reseed or self._kf_decision(frame_idx, n_keys, n_inl, n_stereo_inl):
+            n_used = self._insert_keyframe(
+                frame_idx, pose, outputs, layout, ages, reseed=reseed
+            )
+            # a re-seed KF tracks nothing; its spawn count is the new
+            # tracked baseline (exactly how frame-0 init seeds it)
+            self.last_kf_tracked = n_used if reseed else n_inl
             self.last_kf_frame = frame_idx
+            self.lost_streak = 0
         else:
             # non-KF record: pose relative to the last KF (reference addFrame)
             ref = self.world.kf_poses_host[self.last_kf_slot]
@@ -1014,25 +1069,38 @@ class StereoTracker:
                 self.miss_age = _map_ages(self.active_ids, layout, ages)
 
     def _kf_decision(self, frame_idx: int, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:
-        """Keyframe policy (reference src/FeatureTracker.cpp:1261-1267).
+        """Keyframe policy — the reference's boolean structure
+        (src/FeatureTracker.cpp:1262): a keyframe requires
+        `(nStereo < minNStereo || every-5th frame) && tracked inliers <
+        ratio * lastKFTracked` — PLUS one documented deviation: a
+        CRITICAL low-stereo trigger (< minNStereo/2) that bypasses the
+        tracked-ratio AND. Ablation (bench EuRoC-geometry scene): with
+        the pure reference policy, stereo inliers starve to ~35 while
+        total inliers decay too slowly (<2%/frame) for the ratio gate to
+        fire; the depth geometry weakens, forward velocity drifts
+        unobserved, and tracking collapses by frame ~50. The critical
+        trigger replenishes close-depth landmarks exactly when the
+        stereo constraint budget — not the match count — is the
+        bottleneck.
 
-        The low-stereo-inlier trigger is suppressed for frames dispatched
-        BEFORE the last keyframe's spawned landmarks entered the active set
-        (i.e. within `pipeline_depth` frames of it): such a frame could not
-        possibly have matched those landmarks, so its low count is an
-        artifact of the dispatch pipeline, not of tracking quality — firing
-        on it cascades into a keyframe every frame and degrades the map."""
+        The stereo triggers are additionally suppressed for frames
+        dispatched BEFORE the last keyframe's spawned landmarks entered the
+        active set (i.e. within `pipeline_depth` frames of it): such a
+        frame could not possibly have matched those landmarks, so its low
+        count is an artifact of the dispatch pipeline, not of tracking
+        quality — firing on it cascades into a keyframe every frame and
+        degrades the map."""
         p = self.params
         ratio_thr = (
             p.kf_tracked_ratio_many if n_keys > p.many_keys else p.kf_tracked_ratio
         )
         saw_last_kf = frame_idx - self.last_kf_frame > p.pipeline_depth
+        low_stereo = saw_last_kf and n_stereo_inl < p.kf_min_stereo
+        critical_stereo = saw_last_kf and n_stereo_inl < p.kf_min_stereo // 2
+        periodic = frame_idx - self.last_kf_frame >= p.kf_every
+        degraded = n_inl < ratio_thr * max(self.last_kf_tracked, 1)
         return (
-            (saw_last_kf and n_stereo_inl < p.kf_min_stereo)
-            or (
-                frame_idx - self.last_kf_frame >= p.kf_every
-                and n_inl < ratio_thr * max(self.last_kf_tracked, 1)
-            )
+            ((low_stereo or periodic) and degraded) or critical_stereo
         ) and n_inl >= p.min_inliers // 2
 
     # ------------------------------------------------------------------
@@ -1082,14 +1150,39 @@ class StereoTracker:
         self.last_kf_tracked = n_used
         self.last_kf_frame = 0
 
-    def _insert_keyframe(self, frame_idx: int, pose: np.ndarray, outputs: dict, layout: np.ndarray, ages: np.ndarray):
+    def _insert_keyframe(
+        self, frame_idx: int, pose: np.ndarray, outputs: dict,
+        layout: np.ndarray, ages: np.ndarray, reseed: bool = False,
+    ) -> int:
         # `pose` is the blob-derived (re-anchoring-corrected) host pose; the
         # device outputs["T"] may alias the donated state buffer and must
-        # not be consumed after the next frame was dispatched
+        # not be consumed after the next frame was dispatched.
+        # reseed=True waives the per-KF close-spawn cap (lost-tracking
+        # recovery re-seeds like frame-0 map init). Returns spawn count.
         p = self.params
         keys, st = outputs["keys"], outputs["st"]
         kf_slot = self.world.alloc_keyframe(frame_idx)
-        spawn_dev, avail, spawn_host = self._alloc_spawn(p.spawn_per_kf)
+        # a RE-SEED keyframe behaves like frame-0 map init
+        # (src/FeatureTracker.cpp:72-123): it seeds a landmark from EVERY
+        # stereo match (not just close ones — the close-only rule exists to
+        # avoid duplicating landmarks the map should triangulate, but a
+        # lost map has nothing to triangulate against), with no
+        # near-existing suppression (the old landmarks are precisely the
+        # ones that stopped matching) and no spawn cap. It reuses the
+        # init-sized _prepare_keyframe program — no extra compile.
+        A = p.active_size
+        spawn_n = p.n_features if reseed else p.spawn_per_kf
+        spawn_dev, avail, spawn_host = self._alloc_spawn(spawn_n)
+        if reseed:
+            st_close = st["matched"]
+            sup_ids = jnp.full((A,), -1, jnp.int32)
+            lm_pred = jnp.zeros((A, 2), jnp.float32)
+            lm_in_frame = jnp.zeros((A,), bool)
+        else:
+            st_close = st["close"]
+            sup_ids = jnp.asarray(self.active_ids, jnp.int32)
+            lm_pred = outputs["lm_pred"]
+            lm_in_frame = outputs["in_frame"]
         T_kf_dev = jnp.asarray(pose, jnp.float32)
         data = _prepare_keyframe(
             T_kf_dev,
@@ -1097,30 +1190,32 @@ class StereoTracker:
             st["depth"],
             st["est_right_x"],
             st["matched"],
-            st["close"],
+            st_close,
             outputs["midx"],
             outputs["inliers"],
             jnp.asarray(layout, jnp.int32),
             spawn_dev,
             avail,
             self.world.arrays,
-            jnp.asarray(self.active_ids, jnp.int32),
-            outputs["lm_pred"],
-            outputs["in_frame"],
+            sup_ids,
+            lm_pred,
+            lm_in_frame,
             outputs["midx_r"],
             outputs["r_uv"],
             outputs["r_oct"],
             outputs["st_flags"],
             self.K,
-            spawn=p.spawn_per_kf,
-            max_close=p.max_spawn_close,
+            spawn=spawn_n,
+            # max_close is a TRACED scalar (not a jit-static), so the
+            # reseed override does not recompile _prepare_keyframe
+            max_close=(spawn_n if reseed else p.max_spawn_close),
             n_levels=p.n_levels,
             scale=p.scale,
             width=self.width,
             height=self.height,
             n_right=self.world.right_obs_per_kf,
         )
-        self._commit_keyframe(
+        return self._commit_keyframe(
             kf_slot, T_kf_dev, keys, data, spawn_dev, avail, spawn_host,
             layout, ages, T_kf_host=pose,
         )
