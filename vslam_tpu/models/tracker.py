@@ -87,6 +87,12 @@ class TrackerParams:
     #                        (reference 1470-1484 fires on a low mono MP
     #                        count; its own knob, not kf_min_stereo reused)
     kf_every: int = 5
+    # absolute stereo-inlier floor that bypasses the tracked-ratio AND of
+    # the KF policy; None -> 4/5 of kf_min_stereo. A/B on the bench
+    # scenes (see _kf_decision): 40 -> EuRoC ATE 0.020 / KITTI 0.335
+    # (late endgame collapse), 64 -> 0.008 / 0.026, 80 (= round-2's
+    # unconditional low-stereo trigger) -> KITTI 0.033 at -2 fps.
+    kf_critical_stereo: int | None = None
     kf_tracked_ratio: float = 0.9
     kf_tracked_ratio_many: float = 0.7
     many_keys: int = 350
@@ -938,7 +944,15 @@ class StereoTracker:
 
     def _track_frame(self, left, right, imu):
         p = self.params
-        LR = jnp.asarray(np.stack([left, right]) if right is not None else left[None])
+        if right is None and getattr(left, "ndim", 2) == 3:
+            # pre-stacked (2, H, W) device array — an input pipeline that
+            # staged the pair on device ahead of time (prefetcher overlap)
+            # skips the per-frame host->device upload entirely
+            LR = jnp.asarray(left)
+        else:
+            LR = jnp.asarray(
+                np.stack([left, right]) if right is not None else left[None]
+            )
 
         if self.frame_idx == 0:
             kl, st = _frontend(
@@ -1073,8 +1087,9 @@ class StereoTracker:
         (src/FeatureTracker.cpp:1262): a keyframe requires
         `(nStereo < minNStereo || every-5th frame) && tracked inliers <
         ratio * lastKFTracked` — PLUS one documented deviation: a
-        CRITICAL low-stereo trigger (< minNStereo/2) that bypasses the
-        tracked-ratio AND. Ablation (bench EuRoC-geometry scene): with
+        CRITICAL low-stereo trigger (kf_critical_stereo, default 4/5 of
+        minNStereo) that bypasses the tracked-ratio AND. Ablation (bench
+        EuRoC-geometry scene): with
         the pure reference policy, stereo inliers starve to ~35 while
         total inliers decay too slowly (<2%/frame) for the ratio gate to
         fire; the depth geometry weakens, forward velocity drifts
@@ -1094,9 +1109,14 @@ class StereoTracker:
         ratio_thr = (
             p.kf_tracked_ratio_many if n_keys > p.many_keys else p.kf_tracked_ratio
         )
+        crit = (
+            p.kf_critical_stereo
+            if p.kf_critical_stereo is not None
+            else (4 * p.kf_min_stereo) // 5
+        )
         saw_last_kf = frame_idx - self.last_kf_frame > p.pipeline_depth
         low_stereo = saw_last_kf and n_stereo_inl < p.kf_min_stereo
-        critical_stereo = saw_last_kf and n_stereo_inl < p.kf_min_stereo // 2
+        critical_stereo = saw_last_kf and n_stereo_inl < crit
         periodic = frame_idx - self.last_kf_frame >= p.kf_every
         degraded = n_inl < ratio_thr * max(self.last_kf_tracked, 1)
         return (
