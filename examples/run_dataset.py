@@ -4,7 +4,8 @@ Usage:
     python examples/run_dataset.py <config.yaml> [--data-root DIR]
         [--limit N] [--out traj.txt] [--async-ba] [--no-prefetch]
         [--checkpoint ck.npz] [--checkpoint-every N] [--resume ck.npz]
-        [--viz map.html] [--ply map.ply]
+        [--viz map.html] [--ply map.ply] [--global-ba] [--shards N|auto]
+        [--debug-dir DIR] [--debug-every N]
 
 Mirrors the reference drivers (src/VIOSlam.cpp:141-329,
 src/VIOSlamMono.cpp:112-275): loads the YAML config, enumerates the
@@ -92,6 +93,10 @@ def main():
     ap.add_argument("--shards", default=None,
                     help="shard the local BA over an N-device mesh "
                          "('auto' = all visible devices)")
+    ap.add_argument("--debug-dir", default=None,
+                    help="write tracked-keypoint overlay PNGs here")
+    ap.add_argument("--debug-every", type=int, default=10, metavar="N",
+                    help="overlay every N-th frame (with --debug-dir)")
     args = ap.parse_args()
 
     conf = ConfigFile(args.config)
@@ -129,6 +134,15 @@ def main():
           f"rig={system.rig.width}x{system.rig.height} "
           f"io={'native' if use_native else 'pil'}")
 
+    debug_hook = None
+    if args.debug_dir:
+        from vslam_tpu.utils import debug_view
+
+        debug_hook = debug_view.make_tracker_hook(
+            args.debug_dir, every=max(args.debug_every, 1)
+        )
+        system.tracker.debug_hook = debug_hook
+
     signal.signal(signal.SIGINT, _sigint)
     times = []
     t0 = time.time()
@@ -140,6 +154,13 @@ def main():
         times.append(frame.t)
         if frame.index < start:
             continue  # already in the resumed state
+        if debug_hook is not None:
+            # processing lags dispatch by the pipeline depth — keep a few
+            # recent left frames for the overlay writer
+            debug_hook.cache[frame.index] = np.asarray(frame.left)
+            for k in list(debug_hook.cache):
+                if k < frame.index - 8:
+                    del debug_hook.cache[k]
         if mono:
             system.track_mono_imu(frame.left, imu=frame.imu)
         else:

@@ -86,16 +86,27 @@ def test_prefetched_frames_match_pil_path(kitti_dir):
         )
 
 
+@pytest.mark.slow
 def test_driver_end_to_end_with_viz(kitti_dir, tmp_path):
     root, scene = kitti_dir
     out = tmp_path / "traj.txt"
     html = tmp_path / "map.html"
     ply = tmp_path / "map.ply"
+    dbg = tmp_path / "dbg"
     r = _run_driver(
         [str(root / "config.yaml"), "--out", str(out),
-         "--viz", str(html), "--ply", str(ply)],
+         "--viz", str(html), "--ply", str(ply),
+         "--debug-dir", str(dbg), "--debug-every", "4"],
         cwd=str(tmp_path),
     )
+    # per-frame keypoint overlays were written (reference drawKeys analog)
+    overlays = sorted(dbg.glob("frame_*.png"))
+    assert len(overlays) >= 2, list(dbg.iterdir()) if dbg.exists() else "no dir"
+    from PIL import Image
+
+    im = np.asarray(Image.open(overlays[0]))
+    assert im.ndim == 3 and im.shape[2] == 3  # RGB overlay, not raw gray
+    assert (im.max(axis=-1) != im.min(axis=-1)).any()  # colored marks exist
     assert "io=native" in r.stdout or "io=pil" in r.stdout
     poses34 = np.loadtxt(out).reshape(-1, 3, 4)
     assert len(poses34) == N_FRAMES
@@ -109,6 +120,7 @@ def test_driver_end_to_end_with_viz(kitti_dir, tmp_path):
     assert ply.stat().st_size > 100
 
 
+@pytest.mark.slow
 def test_driver_checkpoint_resume_continues(kitti_dir, tmp_path):
     """Interrupt at frame 6, checkpoint, resume to the end: the resumed
     trajectory must track the uninterrupted run closely (driver-level

@@ -10,6 +10,7 @@ so these tests cover the production distributed path, not a demo.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vslam_tpu.geometry import se3
 from vslam_tpu.models import local_mapper, map_state, tracker
@@ -87,6 +88,7 @@ def test_sharded_two_rounds_realistic_size_runs():
     assert np.isfinite(float(err))
 
 
+@pytest.mark.slow
 def test_sharded_mapper_end_to_end_matches_single_device():
     """Full tracking+mapping loop with the SHARDED mapper vs the
     single-device mapper: same trajectory to float-reduction tolerance

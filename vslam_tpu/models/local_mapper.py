@@ -845,7 +845,7 @@ class LocalMapper:
 
     def _dispatch_problem(
         self, p, kf_slots, kf_valid, lm_slots_dev, take, n_live, kf_slot, mono,
-        pend, t0,
+        pend, t0, n_slabs: int = 1,
     ) -> dict:
         """Dispatch the fused 2-round BA + write-back for an assembled
         problem (any W — the local window or the whole map for
@@ -858,13 +858,14 @@ class LocalMapper:
         # round 1 -> chi2 sweep -> round 2 -> final kill mask, ONE device
         # program (reference 543-873; fused to avoid per-stage dispatch
         # RTTs); sharded over the mesh when one is configured
-        if self._sharded is not None:
+        if self._sharded is not None and n_slabs == 1:
             from vslam_tpu.parallel import sharded_ba
 
             p2, err, kill = sharded_ba.run_problem(self._sharded, p)
         else:
             p2, err, kill = schur.local_ba_two_rounds(
-                p, iters1=cfg.iters_round1, iters2=cfg.iters_round2
+                p, iters1=cfg.iters_round1, iters2=cfg.iters_round2,
+                n_slabs=n_slabs,
             )
         # take rides as a BITCAST int32 (not a float cast — f32 is exact
         # only to 2^24, and at >=8192 grown keyframes the flat row indices
@@ -919,7 +920,12 @@ class LocalMapper:
             "obs_cap": int(take.shape[0]),
         }
 
-    def run_global(self, max_landmarks: int = 1 << 15) -> dict | None:
+    # Hpl slab memory budget for the chunked global-BA Schur reduction:
+    # one (Wg, L_cap/n_slabs, 6, 3) f32 block must fit comfortably next
+    # to the (6Wg)^2 reduced system
+    GLOBAL_SLAB_BYTES = 256 << 20
+
+    def run_global(self, max_landmarks: int = 1 << 17) -> dict | None:
         """GLOBAL bundle adjustment: one 2-round Schur LM over EVERY valid
         keyframe and every landmark they observe.
 
@@ -929,7 +935,11 @@ class LocalMapper:
         reduction is a sum of per-landmark blocks, so on a device mesh the
         landmark slabs shard with one psum of the (6W)^2 reduced system
         per iteration (SURVEY.md §5 "long-context": window growth via
-        keyframe/landmark-block sharding instead of windowing). Typical
+        keyframe/landmark-block sharding instead of windowing), and on ONE
+        device the same slab math runs memory-chunked (n_slabs picked so
+        an Hpl slab stays under GLOBAL_SLAB_BYTES — at KITTI-00 scale the
+        dense (W, L, 6, 3) block would be multi-GB). Landmark truncation
+        at `max_landmarks` is LOGGED and counted, never silent. Typical
         use: a final map refinement after a sequence (driver --global-ba),
         or periodic full-map polish. Returns re-anchoring info like
         :meth:`finish`, or None with fewer than 2 keyframes."""
@@ -951,7 +961,14 @@ class LocalMapper:
         tbl = w.kf_obs_lm[:n]
         tbl_r = w.kf_obs_r_lm[:n]
         ids = np.unique(np.concatenate([tbl[tbl >= 0], tbl_r[tbl_r >= 0]]))
-        ids = ids[:max_landmarks]
+        if len(ids) > max_landmarks:
+            self.counters.inc("global_lm_truncated", len(ids) - max_landmarks)
+            print(
+                f"[local_mapper] WARNING: global BA truncating "
+                f"{len(ids)} -> {max_landmarks} landmarks (oldest kept; "
+                f"raise max_landmarks to cover the full map)"
+            )
+            ids = ids[:max_landmarks]
         n_ids = len(ids)
         if n_ids == 0:
             return None
@@ -963,6 +980,21 @@ class LocalMapper:
         n_obs = int((tbl >= 0).sum()) + int((tbl_r >= 0).sum())
         full_rows = Wg * (w.keys_per_kf + w.right_obs_per_kf)
         obs_cap = _round_cap(n_obs + 1024, 4096, full_rows)
+
+        # memory guard: chunk the Schur reduction so one Hpl slab fits the
+        # budget (n_slabs divides L_cap; both are powers of two)
+        hpl_bytes = Wg * L_cap * 18 * 4
+        n_slabs = 1
+        while (
+            hpl_bytes // n_slabs > self.GLOBAL_SLAB_BYTES and n_slabs < L_cap // 1024
+        ):
+            n_slabs *= 2
+        if n_slabs > 1:
+            print(
+                f"[local_mapper] global BA: W={n} L={n_ids} -> Schur "
+                f"reduction chunked over {n_slabs} landmark slabs "
+                f"({hpl_bytes >> 20} MiB dense Hpl)"
+            )
 
         cfg = self.cfg
         p, lm_safe, take, n_live = _assemble_device(
@@ -982,7 +1014,7 @@ class LocalMapper:
         )
         pending = self._dispatch_problem(
             p, kf_slots, kf_valid, lm_safe, take, n_live, int(n - 1), False,
-            None, t0,
+            None, t0, n_slabs=n_slabs,
         )
         return self.finish(pending)
 

@@ -869,6 +869,11 @@ class StereoTracker:
         # cumulative BA re-anchoring delta: blobs of frames dispatched BEFORE
         # a reanchor carry the old anchor and are corrected at process time
         self._D = np.eye(4, dtype=np.float32)
+        # optional per-frame diagnostic callback (frame_idx, pose, outputs,
+        # stats) — e.g. utils.debug_view.make_tracker_hook writes tracked-
+        # keypoint overlay PNGs (the reference's drawKeys window,
+        # src/FeatureTracker.cpp:1686-1697, headless)
+        self.debug_hook = None
 
     def set_gravity(self, gravity_w: np.ndarray):
         """Install the measured-gravity vector (reference computes it from
@@ -1041,6 +1046,8 @@ class StereoTracker:
             "ang_jump": float(blob[31]),
             "gate_floor": float(blob[32]),
         }
+        if self.debug_hook is not None:
+            self.debug_hook(frame_idx, pose, outputs, self.last_stats)
 
         # lost-tracking recovery: after `reseed_after` consecutive refused
         # solves, waive the inlier floor and RE-SEED the map — a keyframe

@@ -149,6 +149,49 @@ def _slab(axis_name: str | None, L: int):
     return L // n, i * (L // n)
 
 
+def _slab_system(p: BAProblem, r, Jp, Jl, off, Lloc: int):
+    """Landmark-slab blocks for slab [off, off+Lloc): Hll (Lloc,3,3),
+    Hpl (W,Lloc,6,3), gl (Lloc,3). Out-of-slab rows scatter to index
+    Lloc, dropped by mode="drop" (explicit sentinel — negative indices
+    would wrap under default jnp indexing). `off` may be traced (the
+    slab loop of the chunked reduction) — only Lloc must be static."""
+    W = p.poses.shape[0]
+    in_slab = (p.obs_lm >= off) & (p.obs_lm < off + Lloc)
+    lm_loc = jnp.where(in_slab, p.obs_lm - off, Lloc)
+    Hll = jnp.zeros((Lloc, 3, 3)).at[lm_loc].add(
+        jnp.einsum("oik,oil->okl", Jl, Jl), mode="drop"
+    )
+    Hpl = jnp.zeros((W, Lloc, 6, 3)).at[p.obs_kf, lm_loc].add(
+        jnp.einsum("oik,oil->okl", Jp, Jl), mode="drop"
+    )
+    gl = jnp.zeros((Lloc, 3)).at[lm_loc].add(
+        jnp.einsum("oik,oi->ok", Jl, r), mode="drop"
+    )
+    return Hll, Hpl, gl
+
+
+def _pose_system(p: BAProblem, r, Jp, free):
+    """Replicated pose blocks: Hpp (W,W,6,6) and gp (W,6), including the
+    odometry BetweenFactor chain (reference src/OptimizationBA.cpp:750-768)."""
+    W = p.poses.shape[0]
+    Hpp = jnp.zeros((W, W, 6, 6))
+    Hpp = Hpp.at[p.obs_kf, p.obs_kf].add(jnp.einsum("oik,oil->okl", Jp, Jp))
+    gp = jnp.zeros((W, 6)).at[p.obs_kf].add(jnp.einsum("oik,oi->ok", Jp, r))
+
+    ro, Ji, Jj = _odometry_residual_and_jacobians(p)
+    Ji = Ji * free[:-1][:, None, None]
+    Jj = Jj * free[1:][:, None, None]
+    idx_i = jnp.arange(W - 1)
+    idx_j = idx_i + 1
+    Hpp = Hpp.at[idx_i, idx_i].add(jnp.einsum("oik,oil->okl", Ji, Ji))
+    Hpp = Hpp.at[idx_j, idx_j].add(jnp.einsum("oik,oil->okl", Jj, Jj))
+    Hpp = Hpp.at[idx_i, idx_j].add(jnp.einsum("oik,oil->okl", Ji, Jj))
+    Hpp = Hpp.at[idx_j, idx_i].add(jnp.einsum("oik,oil->okl", Jj, Ji))
+    gp = gp.at[idx_i].add(jnp.einsum("oik,oi->ok", Ji, ro))
+    gp = gp.at[idx_j].add(jnp.einsum("oik,oi->ok", Jj, ro))
+    return Hpp, gp
+
+
 def _assemble(p: BAProblem, axis_name: str | None = None):
     """Build the blocked normal equations.
 
@@ -162,7 +205,6 @@ def _assemble(p: BAProblem, axis_name: str | None = None):
     deltas, independent of the observation count (the scaling-book
     recipe: replicate the small, shard the big, let collectives carry
     only reduced quantities)."""
-    W = p.poses.shape[0]
     L = p.pts.shape[0]
     r, Jp, Jl = _obs_residual_and_jacobians(p)
 
@@ -171,39 +213,22 @@ def _assemble(p: BAProblem, axis_name: str | None = None):
     Jp = Jp * free[p.obs_kf][:, None, None]
 
     Lloc, off = _slab(axis_name, L)
-    # slab-local landmark row; out-of-slab rows scatter to index Lloc,
-    # dropped by mode="drop" (explicit sentinel — negative indices would
-    # wrap under default jnp indexing)
-    in_slab = (p.obs_lm >= off) & (p.obs_lm < off + Lloc)
-    lm_loc = jnp.where(in_slab, p.obs_lm - off, Lloc)
-
-    Hpp = jnp.zeros((W, W, 6, 6))
-    Hll = jnp.zeros((Lloc, 3, 3)).at[lm_loc].add(
-        jnp.einsum("oik,oil->okl", Jl, Jl), mode="drop"
-    )
-    Hpp = Hpp.at[p.obs_kf, p.obs_kf].add(jnp.einsum("oik,oil->okl", Jp, Jp))
-    Hpl = jnp.zeros((W, Lloc, 6, 3)).at[p.obs_kf, lm_loc].add(
-        jnp.einsum("oik,oil->okl", Jp, Jl), mode="drop"
-    )
-    gp = jnp.zeros((W, 6)).at[p.obs_kf].add(jnp.einsum("oik,oi->ok", Jp, r))
-    gl = jnp.zeros((Lloc, 3)).at[lm_loc].add(
-        jnp.einsum("oik,oi->ok", Jl, r), mode="drop"
-    )
-
-    # odometry chain contributions (replicated, like Hpp)
-    ro, Ji, Jj = _odometry_residual_and_jacobians(p)
-    Ji = Ji * free[:-1][:, None, None]
-    Jj = Jj * free[1:][:, None, None]
-    idx_i = jnp.arange(W - 1)
-    idx_j = idx_i + 1
-    Hpp = Hpp.at[idx_i, idx_i].add(jnp.einsum("oik,oil->okl", Ji, Ji))
-    Hpp = Hpp.at[idx_j, idx_j].add(jnp.einsum("oik,oil->okl", Jj, Jj))
-    Hpp = Hpp.at[idx_i, idx_j].add(jnp.einsum("oik,oil->okl", Ji, Jj))
-    Hpp = Hpp.at[idx_j, idx_i].add(jnp.einsum("oik,oil->okl", Jj, Ji))
-    gp = gp.at[idx_i].add(jnp.einsum("oik,oi->ok", Ji, ro))
-    gp = gp.at[idx_j].add(jnp.einsum("oik,oi->ok", Jj, ro))
-
+    Hll, Hpl, gl = _slab_system(p, r, Jp, Jl, off, Lloc)
+    Hpp, gp = _pose_system(p, r, Jp, free)
     return Hpp, Hll, Hpl, gp, gl
+
+
+def _damped_inv3(Hll, lam):
+    """LM-damped, observedness-guarded batched 3x3 inverse of landmark
+    blocks; returns (Hll_inv, observed). Deterministic in (Hll, lam) so
+    the chunked reduction can recompute it per slab in both passes."""
+    eye3 = jnp.eye(3)
+    Hll_d = Hll + lam * eye3[None] * jnp.maximum(
+        jnp.einsum("lii->l", Hll)[:, None, None] / 3.0, 1e-6
+    )
+    observed = jnp.einsum("lii->l", Hll) > 1e-12
+    Hll_d = jnp.where(observed[:, None, None], Hll_d, eye3[None])
+    return _inv3(Hll_d), observed
 
 
 def _inv3(A: jax.Array) -> jax.Array:
@@ -226,37 +251,11 @@ def _inv3(A: jax.Array) -> jax.Array:
     return co / det[..., None, None]
 
 
-def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam, axis_name=None):
-    """Damped Schur-complement solve -> (delta_pose (W,6), delta_pt (L,3)).
-
-    Hll/Hpl/gl arrive in slab form (this shard's landmark slice; the full
-    arrays when unsharded). The reduction S = Hpp - sum_l Hpl_l Hll_l^-1
-    Hpl_l^T runs on the slab and one psum of the (6W)^2 reduced system +
-    reduced gradient assembles the full system; landmark deltas are
-    computed per slab and all_gather'd."""
+def _solve_reduced(p: BAProblem, Hpp, gp, S_red, b_red, lam):
+    """Solve the damped reduced camera system S dp = -b with fixed poses
+    frozen. S_red is the summed Schur reduction (6W,6W), b_red (W,6)."""
     W = p.poses.shape[0]
-    L = p.pts.shape[0]
-    eye3 = jnp.eye(3)
     eye6 = jnp.eye(6)
-    Lloc, off = _slab(axis_name, L)
-
-    # LM damping on block diagonals
-    Hll_d = Hll + lam * eye3[None] * jnp.maximum(
-        jnp.einsum("lii->l", Hll)[:, None, None] / 3.0, 1e-6
-    )
-    # make invalid/unobserved landmark blocks identity (delta stays 0: g=0)
-    observed = jnp.einsum("lii->l", Hll) > 1e-12
-    Hll_d = jnp.where(observed[:, None, None], Hll_d, eye3[None])
-    Hll_inv = _inv3(Hll_d)
-
-    # reduced camera system S = Hpp - Hpl Hll^-1 Hlp (sum over landmarks),
-    # written as ONE (6W, 3Lloc) x (3Lloc, 6W) matmul so it tiles onto the
-    # MXU instead of lowering the 4-operand einsum to small batched GEMMs
-    M = jnp.einsum("alij,ljk->alik", Hpl, Hll_inv)  # (W, Lloc, 6, 3)
-    M2 = M.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lloc)
-    H2 = Hpl.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lloc)
-    b_red = jnp.einsum("alik,lk->ai", M, gl)
-    S_red, b_red = _psum((M2 @ H2.T, b_red), axis_name)
     S = Hpp - S_red.reshape(W, 6, W, 6).transpose(0, 2, 1, 3)
     b = gp - b_red
 
@@ -280,7 +279,35 @@ def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam, axis_name=None):
     # jnp.linalg.solve on TPU for this 72x72 system
     S_dense = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
     chol = jax.scipy.linalg.cho_factor(S_dense)
-    delta_p = jax.scipy.linalg.cho_solve(chol, -b.reshape(-1)).reshape(W, 6)
+    return jax.scipy.linalg.cho_solve(chol, -b.reshape(-1)).reshape(W, 6)
+
+
+def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam, axis_name=None):
+    """Damped Schur-complement solve -> (delta_pose (W,6), delta_pt (L,3)).
+
+    Hll/Hpl/gl arrive in slab form (this shard's landmark slice; the full
+    arrays when unsharded). The reduction S = Hpp - sum_l Hpl_l Hll_l^-1
+    Hpl_l^T runs on the slab and one psum of the (6W)^2 reduced system +
+    reduced gradient assembles the full system; landmark deltas are
+    computed per slab and all_gather'd."""
+    W = p.poses.shape[0]
+    L = p.pts.shape[0]
+    eye6 = jnp.eye(6)
+    Lloc, off = _slab(axis_name, L)
+
+    # LM damping on block diagonals; invalid/unobserved landmark blocks
+    # become identity (delta stays 0: g=0)
+    Hll_inv, observed = _damped_inv3(Hll, lam)
+
+    # reduced camera system S = Hpp - Hpl Hll^-1 Hlp (sum over landmarks),
+    # written as ONE (6W, 3Lloc) x (3Lloc, 6W) matmul so it tiles onto the
+    # MXU instead of lowering the 4-operand einsum to small batched GEMMs
+    M = jnp.einsum("alij,ljk->alik", Hpl, Hll_inv)  # (W, Lloc, 6, 3)
+    M2 = M.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lloc)
+    H2 = Hpl.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lloc)
+    b_red = jnp.einsum("alik,lk->ai", M, gl)
+    S_red, b_red = _psum((M2 @ H2.T, b_red), axis_name)
+    delta_p = _solve_reduced(p, Hpp, gp, S_red, b_red, lam)
 
     # back-substitute landmarks: dl = Hll^-1 (-gl - Hlp dp), per slab
     rhs = -gl - jnp.einsum("alij,ai->lj", Hpl, delta_p)
@@ -295,10 +322,58 @@ def _schur_solve(p: BAProblem, Hpp, Hll, Hpl, gp, gl, lam, axis_name=None):
     return delta_p, delta_l
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "axis_name"))
+def _schur_solve_slabbed(p: BAProblem, lam, n_slabs: int):
+    """One damped Schur LM step with the LANDMARK dimension processed in
+    `n_slabs` sequential slabs on one device (the single-device analog of
+    the mesh-sharded reduction in _assemble/_schur_solve — same slab
+    math, a fori_loop instead of psum). Peak memory holds ONE
+    (W, L/n_slabs, 6, 3) Hpl slab instead of the full (W, L, 6, 3)
+    block, which at global-BA scale (hundreds of KFs x 10^5 landmarks)
+    is multi-GB. The O-row linearization is computed once; each slab
+    pass re-scatters it, so compute grows by ~2x scatter work while
+    memory drops by n_slabs."""
+    W = p.poses.shape[0]
+    L = p.pts.shape[0]
+    Lloc = L // n_slabs
+    r, Jp, Jl = _obs_residual_and_jacobians(p)
+    free = (~p.fixed) & p.pose_valid
+    Jp = Jp * free[p.obs_kf][:, None, None]
+    Hpp, gp = _pose_system(p, r, Jp, free)
+
+    def reduce_slab(i, carry):
+        S_acc, b_acc = carry
+        off = i * Lloc
+        Hll, Hpl, gl = _slab_system(p, r, Jp, Jl, off, Lloc)
+        Hll_inv, _ = _damped_inv3(Hll, lam)
+        M = jnp.einsum("alij,ljk->alik", Hpl, Hll_inv)
+        M2 = M.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lloc)
+        H2 = Hpl.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lloc)
+        return S_acc + M2 @ H2.T, b_acc + jnp.einsum("alik,lk->ai", M, gl)
+
+    S_red, b_red = jax.lax.fori_loop(
+        0, n_slabs, reduce_slab,
+        (jnp.zeros((6 * W, 6 * W)), jnp.zeros((W, 6))),
+    )
+    delta_p = _solve_reduced(p, Hpp, gp, S_red, b_red, lam)
+
+    def backsub_slab(i, dl):
+        off = i * Lloc
+        Hll, Hpl, gl = _slab_system(p, r, Jp, Jl, off, Lloc)
+        Hll_inv, observed = _damped_inv3(Hll, lam)
+        rhs = -gl - jnp.einsum("alij,ai->lj", Hpl, delta_p)
+        dls = jnp.einsum("ljk,lk->lj", Hll_inv, rhs)
+        pt_valid_s = jax.lax.dynamic_slice_in_dim(p.pt_valid, off, Lloc)
+        dls = jnp.where((observed & pt_valid_s)[:, None], dls, 0.0)
+        return jax.lax.dynamic_update_slice(dl, dls, (off, 0))
+
+    delta_l = jax.lax.fori_loop(0, n_slabs, backsub_slab, jnp.zeros((L, 3)))
+    return delta_p, delta_l
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "axis_name", "n_slabs"))
 def local_ba(
     p: BAProblem, iters: int = 5, lambda0: float = 1e-4, rel_tol: float = 1e-5,
-    axis_name: str | None = None,
+    axis_name: str | None = None, n_slabs: int = 1,
 ):
     """Run up to `iters` LM iterations; returns (updated problem, final
     error, final lambda). Accept/reject per iteration like GTSAM LM, with
@@ -309,7 +384,12 @@ def local_ba(
 
     With `axis_name` (inside shard_map, observations sharded over that
     axis): the accept/reject and convergence logic runs on psum'd errors,
-    so every shard takes identical branches and the loop stays uniform."""
+    so every shard takes identical branches and the loop stays uniform.
+
+    With `n_slabs > 1` (single-device only) the Schur reduction runs
+    slab-chunked for bounded memory — the global-BA path at map scale."""
+    if axis_name is not None and n_slabs != 1:
+        raise ValueError("n_slabs chunking is the single-device path only")
 
     err0 = ba_error(p, axis_name)
 
@@ -319,8 +399,11 @@ def local_ba(
 
     def body(carry):
         p, lam, err, i, _ = carry
-        Hpp, Hll, Hpl, gp, gl = _assemble(p, axis_name)
-        dp, dl = _schur_solve(p, Hpp, Hll, Hpl, gp, gl, lam, axis_name)
+        if n_slabs > 1:
+            dp, dl = _schur_solve_slabbed(p, lam, n_slabs)
+        else:
+            Hpp, Hll, Hpl, gp, gl = _assemble(p, axis_name)
+            dp, dl = _schur_solve(p, Hpp, Hll, Hpl, gp, gl, lam, axis_name)
         new_poses = jax.vmap(se3.retract)(p.poses, dp)
         new_pts = p.pts + dl
         p_new = p._replace(poses=new_poses, pts=new_pts)
@@ -343,10 +426,12 @@ def local_ba(
     return p, err, lam
 
 
-@functools.partial(jax.jit, static_argnames=("iters1", "iters2", "axis_name"))
+@functools.partial(
+    jax.jit, static_argnames=("iters1", "iters2", "axis_name", "n_slabs")
+)
 def local_ba_two_rounds(
     p: BAProblem, iters1: int = 5, iters2: int = 10,
-    axis_name: str | None = None,
+    axis_name: str | None = None, n_slabs: int = 1,
 ):
     """The reference's full 2-round schedule as ONE device program: round 1
     LM -> chi-squared outlier sweep -> round 2 LM -> final chi-squared kill
@@ -356,11 +441,12 @@ def local_ba_two_rounds(
     dominated the BA latency.
 
     With `axis_name` the SAME schedule runs sharded (the chi-squared sweep
-    is per-observation and therefore shard-local)."""
-    p1, _, _ = local_ba(p, iters=iters1, axis_name=axis_name)
+    is per-observation and therefore shard-local); with `n_slabs > 1` it
+    runs memory-chunked on one device (run_global at map scale)."""
+    p1, _, _ = local_ba(p, iters=iters1, axis_name=axis_name, n_slabs=n_slabs)
     keep = p1.obs_valid & (obs_chi2(p1) < CHI2_THR)
     p1 = p1._replace(obs_valid=keep)
-    p2, err, _ = local_ba(p1, iters=iters2, axis_name=axis_name)
+    p2, err, _ = local_ba(p1, iters=iters2, axis_name=axis_name, n_slabs=n_slabs)
     kill = p2.obs_valid & (obs_chi2(p2) >= CHI2_THR)
     return p2, err, kill
 
