@@ -167,6 +167,10 @@ def test_mono_imu_tracking_follows_ground_truth(scene, small_params):
             dt_rows = np.concatenate([dts[:, None], rows[:, 1:7]], axis=1).astype(np.float32)
         trk.track(scene.render(f), imu=dt_rows)
         if trk.needs_init_triangulation:
+            # this scene moves >0.1 m/frame, so every frame passes the
+            # motion gate and views == gates; the slow-motion breadth
+            # case is test_mono_bootstrap_records_intermediate_views
+            assert len(trk.bootstrap_slots) >= len(trk.gate_slots) == 3
             ids = mapper.find_new_points(trk.new_kf_slots[-1], mono=True)
             trk.add_active(ids)
             trk.needs_init_triangulation = False
@@ -178,6 +182,54 @@ def test_mono_imu_tracking_follows_ground_truth(scene, small_params):
     ate = trajectory.ate_rmse(poses, gt, align=False)
     # mono + exact IMU: metric-scale tracking should stay within ~15 cm
     assert ate < 0.15, ate
+
+
+def test_mono_bootstrap_records_intermediate_views(small_params):
+    """Under SLOW motion, frames between the 3 motion-gated bootstrap
+    keyframes are still recorded as triangulation views (capped at the
+    static window) — the reference's one-time mono init triangulates over
+    ALL frames accumulated during bootstrap, not just the keyframes
+    (addMappointsMono / matchByRadius over allFrames,
+    src/FeatureTracker.cpp:1497-1633, src/FeatureMatcher.cpp:458-526)."""
+    from vslam_tpu.utils import datasets, synthetic as syn
+
+    # 40 fps -> ~0.03 m/frame: each 0.1 m motion gate needs ~3-4 frames
+    slow = synthetic.make_scene(
+        n_frames=16, n_points=400, width=320, height=240, fps=40.0, seed=7
+    )
+    imu_cfg = tracker.ImuConfig(
+        gyro_noise=1.7e-4, accel_noise=2e-3, gyro_walk=1.9e-5, accel_walk=3e-3,
+        hz=slow.imu_hz, T_bc=np.eye(4, dtype=np.float32),
+        gravity_w=syn.GRAVITY_W.astype(np.float32),
+    )
+    world = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=512)
+    trk = tracker.MonoTracker(
+        slow.K.astype(np.float32), slow.width, slow.height, world,
+        small_params, imu_cfg=imu_cfg,
+    )
+    trk.velocity = slow.velocities[0].astype(np.float32)
+    bins = datasets.bin_imu_per_frame(slow.imu, slow.times)
+    prev_t = None
+    for f in range(16):
+        rows = bins[f]
+        dt_rows = None
+        if len(rows):
+            t = rows[:, 0]
+            p0 = prev_t if prev_t is not None else t[0] - 1.0 / slow.imu_hz
+            dts = np.diff(np.concatenate([[p0], t]))
+            prev_t = float(t[-1])
+            dt_rows = np.concatenate([dts[:, None], rows[:, 1:7]], axis=1).astype(np.float32)
+        trk.track(slow.render(f), imu=dt_rows)
+        if trk.initialized:
+            break
+    assert trk.initialized
+    assert len(trk.gate_slots) == 3
+    assert len(trk.bootstrap_slots) > 3, trk.bootstrap_slots
+    assert len(trk.bootstrap_slots) <= trk.MAX_BOOTSTRAP_VIEWS
+    # the intermediate views carry real observations for triangulation
+    mapper = local_mapper.LocalMapper(world, slow.K.astype(np.float32), 0.0)
+    ids = mapper.find_new_points(trk.new_kf_slots[-1], mono=True)
+    assert len(ids) > 20, len(ids)
 
 
 def test_right_camera_observations_recorded(scene, small_params):

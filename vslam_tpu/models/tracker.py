@@ -1371,14 +1371,24 @@ class MonoTracker(StereoTracker):
     Bootstrap: the first keyframe anchors the world; subsequent frames
     dead-reckon on IMU until sufficient motion accumulates (reference
     motion gate at 1312 / include/Conversions.h:112-137), collecting 3
-    bootstrap keyframes (reference 1315-1330). The caller (VSlamSystem or
-    the test loop) then triangulates the initial map via
-    LocalMapper.find_new_points(slot, mono=True) — metric scale comes from
-    the IMU dead-reckoned keyframe baselines, exactly as the reference's
-    bootstrap poses do. Steady state is the shared _track_step program
-    with mono=True (projection-only observations + CombinedImuFactor)."""
+    motion-gated bootstrap keyframes (reference 1315-1330). EVERY frame
+    of the bootstrap interval (up to the static triangulation window) is
+    additionally recorded as an observation-table keyframe, so the
+    one-time init triangulates across ALL accumulated views — the
+    reference's addMappointsMono walks allFrames the same way
+    (src/FeatureTracker.cpp:1497-1633) — not just the 3 gate keyframes.
+    The caller (VSlamSystem or the test loop) then triangulates the
+    initial map via LocalMapper.find_new_points(slot, mono=True) —
+    metric scale comes from the IMU dead-reckoned keyframe baselines,
+    exactly as the reference's bootstrap poses do. Steady state is the
+    shared _track_step program with mono=True (projection-only
+    observations + CombinedImuFactor)."""
 
-    BOOTSTRAP_KFS = 3  # reference src/FeatureTracker.cpp:1315
+    BOOTSTRAP_KFS = 3  # motion-gated keyframes, reference src/FeatureTracker.cpp:1315
+    # every bootstrap frame becomes a triangulation view up to the local
+    # mapper's static window (local_mapper.WINDOW) — the fixed-shape
+    # analog of the reference's unbounded allFrames walk
+    MAX_BOOTSTRAP_VIEWS = 12
 
     def __init__(self, K, width, height, world, params=None, imu_cfg=None):
         super().__init__(
@@ -1387,7 +1397,8 @@ class MonoTracker(StereoTracker):
         )
         self._mono = True
         self.initialized = False
-        self.bootstrap_slots: list[int] = []
+        self.bootstrap_slots: list[int] = []  # ALL bootstrap view slots
+        self.gate_slots: list[int] = []  # the motion-gated subset
         self.needs_init_triangulation = False
 
     def track(self, left: np.ndarray, right: np.ndarray | None = None, imu: np.ndarray | None = None):
@@ -1420,17 +1431,25 @@ class MonoTracker(StereoTracker):
             self.pose = np.asarray(T_new)
             self.velocity = np.asarray(v_new)
 
-        take_kf = self.frame_idx == 0 or (
-            len(self.bootstrap_slots) < self.BOOTSTRAP_KFS
+        take_gate = self.frame_idx == 0 or (
+            len(self.gate_slots) < self.BOOTSTRAP_KFS
             and sufficient_motion(
-                self.pose, self.world.kf_poses_host[self.bootstrap_slots[-1]]
+                self.pose, self.world.kf_poses_host[self.gate_slots[-1]]
             )
         )
-        if take_kf:
+        # non-gate bootstrap frames still become triangulation views
+        # (capped) — more baselines = a denser, better-conditioned
+        # initial mono map (reference allFrames walk, 1497-1633)
+        take_view = take_gate or (
+            len(self.bootstrap_slots) < self.MAX_BOOTSTRAP_VIEWS - 1
+        )
+        if take_view:
             keys = _frontend_mono(jnp.asarray(left), self._static)
             self._insert_mono_keyframe(keys, jnp.asarray(self.pose))
             self.bootstrap_slots.append(self.last_kf_slot)
-            if len(self.bootstrap_slots) >= self.BOOTSTRAP_KFS:
+            if take_gate:
+                self.gate_slots.append(self.last_kf_slot)
+            if len(self.gate_slots) >= self.BOOTSTRAP_KFS:
                 # caller triangulates the initial map from this window
                 self.needs_init_triangulation = True
                 self.initialized = True
