@@ -198,3 +198,26 @@ def test_onehot_patch_extraction_matches_direct_indexing():
     pk_ref, _ = orb.brief_descriptors(blurred, xy, ang)
     pk_new = np.asarray(keys.packed)[interior]
     assert np.array_equal(np.asarray(pk_ref), pk_new)
+
+
+def test_extract_windows_matches_direct_indexing():
+    """ops/patches.extract_windows (the Pallas window kernel on TPU; XLA
+    gather fallback here on CPU) must equal direct advanced indexing for
+    in-range top-left corners, for both the BRIEF (31x31) and SAD
+    (11x21) window shapes."""
+    from vslam_tpu.ops import patches as patches_mod
+
+    rng = np.random.default_rng(5)
+    B, H, W, Q = 2, 96, 160, 37
+    img = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
+    for P, Pw in ((31, 31), (11, 21)):
+        x0 = jnp.asarray(rng.integers(0, W - Pw, (B, Q)).astype(np.int32))
+        y0 = jnp.asarray(rng.integers(0, H - P, (B, Q)).astype(np.int32))
+        out = np.asarray(patches_mod.extract_windows(img, x0, y0, P, Pw))
+        imn = np.asarray(img)
+        for b in range(B):
+            for i in range(Q):
+                xx, yy = int(x0[b, i]), int(y0[b, i])
+                np.testing.assert_array_equal(
+                    out[b, i], imn[b, yy : yy + P, xx : xx + Pw]
+                )

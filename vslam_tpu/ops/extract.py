@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vslam_tpu.ops import fast, orb, pyramid
+from vslam_tpu.ops import fast, orb, patches, pyramid
 
 
 class Keys(NamedTuple):
@@ -96,33 +96,27 @@ def extract_batch(
         valids.append(valid)
         slot_level += [l] * quota
 
-        # one-hot patch extraction for this level's keypoints (MXU)
-        ys_ = jnp.clip(xy[:, :, 1, None] + dlt[None, None], 0, h - 1)  # (B,q,P)
-        xs_ = jnp.clip(xy[:, :, 0, None] + dlt[None, None], 0, w - 1)
-        rows = (ys_[..., None] == jnp.arange(h)[None, None, None]).astype(
-            jnp.float32
-        )  # (B, q, P, h)
-        cols = (xs_[..., None] == jnp.arange(w)[None, None, None]).astype(
-            jnp.float32
-        )  # (B, q, P, w)
-        t = jnp.einsum(
-            "bqph,bhw->bqpw", rows, blurred, precision=jax.lax.Precision.HIGHEST
-        )
-        patch_parts.append(
-            jnp.einsum(
-                "bqpw,bqjw->bqpj", t, cols, precision=jax.lax.Precision.HIGHEST
-            )
-        )
+        # patch extraction for this level's keypoints: the Pallas window
+        # kernel (ops/patches.py — one-hot dots on the VMEM-resident level
+        # image). Every jnp-level formulation gets rewritten by XLA's
+        # algebraic simplifier into a scalarizing gather (~6 ms/frame at
+        # bench shapes); inside Pallas the dots stay dots. Bit-exact for
+        # interior keypoints (the edge margin >= P/2 guarantees
+        # interiority of every valid key; border pad slots get a shifted
+        # window, which only ever feeds masked-invalid descriptors).
+        x0 = jnp.clip(xy[:, :, 0] - half, 0, w - P)
+        y0 = jnp.clip(xy[:, :, 1] - half, 0, h - P)
+        patch_parts.append(patches.extract_windows(blurred, x0, y0, P, P))
 
     xy_lvl = jnp.concatenate(xs, axis=1)  # (B, N, 2) int32 level coords
     resp = jnp.concatenate(resps, axis=1)
     valid = jnp.concatenate(valids, axis=1)
     N = xy_lvl.shape[1]
     lvl = jnp.asarray(np.array(slot_level, np.int32))
-    patches = jnp.concatenate(patch_parts, axis=1)  # (B, N, P, P)
+    patch_all = jnp.concatenate(patch_parts, axis=1)  # (B, N, P, P)
 
-    angle = orb.orientation_from_patches(patches)
-    packed, signed = orb.brief_from_patches(patches, angle)
+    angle = orb.orientation_from_patches(patch_all)
+    packed, signed = orb.brief_from_patches(patch_all, angle)
 
     sf = jnp.asarray(np.array([scale**l for l in slot_level], np.float32))
     return Keys(

@@ -38,13 +38,30 @@ SAD_SLIDE = 5
 
 
 def _gather_patch_rows(img, xc, yc, half_h, half_w):
-    """(N, 2*half_h+1, 2*half_w+1) patches at integer centers, clamped."""
+    """(N, 2*half_h+1, 2*half_w+1) patches at integer centers.
+
+    Row strips come from per-key dynamic_slices (rows are contiguous);
+    columns are selected with a one-hot einsum. An advanced-index gather
+    here scalarizes on TPU (~3 ms for the (N,11,21) fetch at bench
+    shapes); this form halves that. The Pallas window kernel
+    (ops/patches.py, used by the extractor) is faster still but its
+    scalar-prefetch SMEM tipped the KITTI-sized fused frame program over
+    the 1 MiB SMEM budget — the SAD windows are only ~15% of the patch
+    traffic, so they stay on the XLA path. Keypoints closer than the
+    window half-size to the border get a shifted (not clamped) window —
+    the extractor's edge margin keeps every valid key interior."""
     H, W = img.shape
-    dy = jnp.arange(-half_h, half_h + 1)
+    Ph = 2 * half_h + 1
     dx = jnp.arange(-half_w, half_w + 1)
-    ys = jnp.clip(yc[:, None] + dy[None, :], 0, H - 1)
-    xs = jnp.clip(xc[:, None] + dx[None, :], 0, W - 1)
-    return img[ys[:, :, None], xs[:, None, :]]
+    y0 = jnp.clip(yc - half_h, 0, H - Ph)
+    strips = jax.vmap(
+        lambda y: jax.lax.dynamic_slice(img, (y, 0), (Ph, W))
+    )(y0)  # (N, Ph, W)
+    xs = jnp.clip(xc[:, None] + dx[None, :], 0, W - 1)  # (N, Pw)
+    cols = (xs[..., None] == jnp.arange(W)[None, None]).astype(jnp.float32)
+    return jnp.einsum(
+        "npw,nqw->npq", strips, cols, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("close_factor",))
