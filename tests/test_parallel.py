@@ -147,3 +147,78 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(N_DEV)
+
+
+def test_multi_sequence_batch_matches_individual_runs():
+    """Multi-sequence batch mode (SURVEY.md §7 phase 5): S sequences ride
+    ONE vmapped frame program; each sequence's trajectory must match its
+    own single-sequence run (same math, batched execution)."""
+    from vslam_tpu.models import local_mapper, map_state, tracker
+    from vslam_tpu.parallel import multi_seq
+    from vslam_tpu.utils import synthetic, trajectory
+
+    n, S = 10, 3
+    params = tracker.TrackerParams(
+        n_features=512, n_levels=4, active_size=1024, spawn_per_kf=256,
+        kf_min_stereo=60,
+    )
+    scenes = [
+        synthetic.make_scene(
+            n_frames=n, n_points=400, width=320, height=240, fps=10.0,
+            seed=7 + 3 * s,
+        )
+        for s in range(S)
+    ]
+
+    def make(scene):
+        world = map_state.WorldMap(
+            lm_capacity=8192, kf_capacity=64, keys_per_kf=params.n_features
+        )
+        trk = tracker.StereoTracker(
+            scene.K.astype(np.float32), scene.baseline, scene.width,
+            scene.height, world, params,
+        )
+        mapper = local_mapper.LocalMapper(
+            world, scene.K.astype(np.float32), scene.baseline,
+            local_mapper.LocalMapperConfig(n_levels=4, scale=1.2),
+        )
+        return trk, mapper
+
+    # individual baseline runs
+    solo = []
+    for s in range(S):
+        trk, mapper = make(scenes[s])
+        for f in range(n):
+            nk = len(trk.new_kf_slots)
+            trk.track(scenes[s].render(f), scenes[s].render(f, right=True))
+            if len(trk.new_kf_slots) > nk and trk.new_kf_slots[-1] > 0:
+                r = mapper.run(trk.new_kf_slots[-1])
+                trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+                trk.add_active(r["new_lm_ids"])
+        solo.append(trk.trajectory())
+
+    # batched run
+    pairs = [make(sc) for sc in scenes]
+    front = multi_seq.BatchedStereoFrontend([p[0] for p in pairs])
+    for f in range(n):
+        nks = [len(p[0].new_kf_slots) for p in pairs]
+        front.track(
+            [(scenes[s].render(f), scenes[s].render(f, right=True)) for s in range(S)]
+        )
+        for s, (trk, mapper) in enumerate(pairs):
+            if len(trk.new_kf_slots) > nks[s] and trk.new_kf_slots[-1] > 0:
+                r = mapper.run(trk.new_kf_slots[-1])
+                trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+                trk.add_active(r["new_lm_ids"])
+    front.flush()
+
+    for s, (trk, _) in enumerate(pairs):
+        batched = trk.trajectory()
+        assert len(batched) == len(solo[s]) == n
+        # identical pipeline, batched execution: same result up to float
+        # fusion-order differences
+        np.testing.assert_allclose(batched, solo[s], atol=2e-3)
+        ate = trajectory.ate_rmse(
+            batched, scenes[s].poses_c2w[:n], align=False
+        )
+        assert ate < 0.04, (s, ate)

@@ -1,0 +1,137 @@
+"""Multi-sequence batch mode: S sequences as one batched device program.
+
+The reference processes one dataset sequence per process (reference
+src/VIOSlam.cpp:141-329). Here S same-resolution sequences ride ONE
+vmapped frame program — one compile, one dispatch, one result fetch per
+frame for the whole batch (SURVEY.md §7 phase 5). Typical use:
+batch-evaluating several sequences on one chip.
+
+Measured regimes (one TPU v5e chip): at SMALL per-frame programs
+(320x240, 512 features — dispatch/latency-bound) batching wins ~2.7x
+aggregate throughput at S=4 and ~2.9x at S=8; at full EuRoC shapes
+(752x480, 1024 features) a single sequence already saturates the chip
+(the vmapped batch runs at ~1.0x per-frame-equivalent), so batch mode
+buys convenience, not throughput. Use it when evaluating many
+low-resolution sequences or when the tracker config underfills the
+chip.
+
+Design: each sequence keeps its own StereoTracker (host bookkeeping, KF
+policy, world map, local mapper) — those are per-sequence and event-
+driven. Only the HOT per-frame device program (_track_step) is batched:
+before each frame the per-sequence device states are stacked (one jitted
+stack program), the vmapped step runs once, and each tracker is handed
+its slice of the outputs through its normal pending-queue pipeline, so
+keyframe insertion, BA hand-off, re-anchoring and recovery behave
+exactly as in single-sequence mode.
+
+Constraints: all sequences must share resolution and tracker config
+(static shapes); per-sequence intrinsics/baselines are supported
+(batched operands). Stereo mode without IMU in v1 — the IMU state
+machinery is per-sequence identical and can batch the same way.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.models import tracker as tracker_mod
+
+
+class BatchedStereoFrontend:
+    """Drive S StereoTrackers with one batched frame program."""
+
+    def __init__(self, trackers: list[tracker_mod.StereoTracker]):
+        assert len(trackers) >= 1
+        t0 = trackers[0]
+        p0 = t0.params
+        for t in trackers[1:]:
+            p = t.params
+            assert (
+                (p.n_features, p.n_levels, p.active_size, t.width, t.height)
+                == (p0.n_features, p0.n_levels, p0.active_size, t0.width, t0.height)
+            ), "batched sequences must share resolution and tracker shapes"
+            assert t.imu_cfg is None and t0.imu_cfg is None, (
+                "v1 batches the stereo (no-IMU) mode"
+            )
+        self.trackers = trackers
+        self.S = len(trackers)
+        self._K_b = jnp.stack([t.K for t in trackers])
+        self._bl_b = jnp.stack(
+            [jnp.asarray(t.baseline, jnp.float32) for t in trackers]
+        )
+        self._imu_b = jnp.stack([t._imu_dummy for t in trackers])
+        self._stack = jax.jit(
+            lambda *states: jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        )
+
+        p = p0
+
+        def step(LR, state, imu, radii, K, baseline):
+            return tracker_mod._track_step(
+                LR,
+                state,
+                imu,
+                t0._imu_const,
+                radii,
+                jnp.float32(p.refine_radius),
+                jnp.float32(p.desc_thr),
+                jnp.float32(p.ratio),
+                K,
+                baseline,
+                t0.scale_factors,
+                t0._static,
+                t0.width,
+                t0.height,
+                p.n_levels,
+                p.min_inliers,
+                mono=False,
+                has_imu=False,
+            )
+
+        self._vstep = jax.jit(
+            jax.vmap(step, in_axes=(0, 0, 0, None, 0, 0))
+        )
+
+    # ------------------------------------------------------------------
+    def track(self, frames) -> list[np.ndarray]:
+        """One frame for every sequence. `frames` = list of (left, right)
+        numpy pairs, or a pre-staged (S, 2, H, W) device array. Returns
+        the newest PROCESSED pose per sequence (lagging by each
+        tracker's pipeline depth, exactly as single-sequence track())."""
+        ts = self.trackers
+        if ts[0].frame_idx == 0:
+            # frame 0 = per-sequence map init (one-time, unbatched)
+            for t, f in zip(ts, frames):
+                t.track(np.asarray(f[0]), np.asarray(f[1]))
+            return [t.pose.copy() for t in ts]
+
+        for t in ts:
+            t.counters.inc("frames")
+        batched = self._stack(*[t._state for t in ts])
+        if isinstance(frames, (list, tuple)):
+            LR = jnp.asarray(
+                np.stack([np.stack([f[0], f[1]]) for f in frames])
+            )
+        else:
+            LR = jnp.asarray(frames)
+        radii = ts[0]._radii_first if ts[0].frame_idx == 1 else ts[0]._radii
+        new_state, outputs = self._vstep(
+            LR, batched, self._imu_b, radii, self._K_b, self._bl_b
+        )
+        outputs["blob"].copy_to_host_async()
+        for s, t in enumerate(ts):
+            t._state = jax.tree.map(lambda a: a[s], new_state)
+            out_s = jax.tree.map(lambda a: a[s], outputs)
+            t._pending.append(
+                (t.frame_idx, out_s, t.active_ids.copy(), t._D.copy())
+            )
+            t.frame_idx += 1
+            while len(t._pending) > t.params.pipeline_depth:
+                t._process(*t._pending.popleft())
+        return [t.pose.copy() for t in ts]
+
+    def flush(self):
+        for t in self.trackers:
+            t.flush()
