@@ -370,6 +370,45 @@ def test_blackout_recovery_reseeds_map(small_params):
     assert t_err < 0.15, (t_err, est_rel[:3, 3], gt_rel[:3, 3])
 
 
+def test_relocalization_recovers_on_old_map(small_params):
+    """RELOCALIZATION (models/reloc.py; the reference has none): after a
+    blackout the camera REAPPEARS in a previously-mapped area. The
+    descriptor retrieval must find the matching keyframe and re-anchor
+    tracking on the ORIGINAL map — poses after recovery are correct in
+    the ORIGINAL world frame (unaligned), which no re-seed can do."""
+    scene = synthetic.make_scene(
+        n_frames=16, n_points=400, width=320, height=240, fps=10.0, seed=7
+    )
+    p = small_params
+    world = map_state.WorldMap(
+        lm_capacity=8192, kf_capacity=64, keys_per_kf=p.n_features
+    )
+    trk = tracker.StereoTracker(
+        scene.K.astype(np.float32), scene.baseline, scene.width,
+        scene.height, world, p,
+    )
+    black = np.zeros((scene.height, scene.width), np.float32)
+    # forward leg 0..7, LONG blackout (dead-reckoned drift carries the
+    # prediction far beyond the match-radius retry), then TELEPORT BACK
+    # to the start of the mapped area: replay frames 0..7
+    replay = list(range(0, 8))
+    seq = [(scene.render(f), scene.render(f, right=True)) for f in range(8)]
+    seq += [(black, black)] * 6
+    seq += [(scene.render(f), scene.render(f, right=True)) for f in replay]
+    for l, r in seq:
+        trk.track(l, r)
+    trk.flush()
+    assert trk.counters.get("relocalizations") == 1, trk.counters.summary()
+    # tracking re-acquired on the old map
+    assert trk.last_stats["n_inliers"] >= p.min_inliers, trk.last_stats
+    # the final processed frames sit at the TRUE (original-frame) poses:
+    # unaligned error small even though the camera teleported
+    poses = trk.trajectory()
+    gt_tail = scene.poses_c2w[replay[-3:]]
+    errs = np.linalg.norm(poses[-3:, :3, 3] - gt_tail[:, :3, 3], axis=1)
+    assert errs.max() < 0.15, errs
+
+
 def test_tracking_survives_hard_scene(small_params):
     """Hard-mode synthetic (VERDICT round-1 #6): photometric sensor noise,
     exposure drift, and moving textureless occluders. Validates that the

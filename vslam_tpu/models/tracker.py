@@ -1049,25 +1049,32 @@ class StereoTracker:
         if self.debug_hook is not None:
             self.debug_hook(frame_idx, pose, outputs, self.last_stats)
 
-        # lost-tracking recovery: after `reseed_after` consecutive refused
-        # solves, waive the inlier floor and RE-SEED the map — a keyframe
-        # at the dead-reckoned pose whose close-stereo spawns are uncapped
-        # (like frame-0 map init). The reference has nothing here
-        # (SURVEY.md §5: sustained occlusion dead-reckons forever).
+        # lost-tracking recovery (the reference has nothing here —
+        # SURVEY.md §5: sustained occlusion dead-reckons forever). After
+        # `reseed_after` consecutive refused solves:
+        # 1. RELOCALIZE: retrieve the best-matching keyframe by a global
+        #    descriptor sweep and re-anchor tracking on the OLD map
+        #    (models/reloc.py) — preserves the original world frame;
+        # 2. else RE-SEED (stereo only): a keyframe at the dead-reckoned
+        #    pose whose close-stereo spawns are uncapped (like frame-0
+        #    map init) starts a rigidly-offset fresh map.
         lost = n_inl < p.min_inliers // 2
         self.lost_streak = self.lost_streak + 1 if lost else 0
-        reseed = (
-            not self._mono
-            and self.lost_streak >= p.reseed_after
-            and n_stereo_keys >= p.kf_min_stereo
-            # frames dispatched before the previous re-seed's landmarks
+        reseed = False
+        recovery_due = (
+            self.lost_streak >= p.reseed_after
+            # frames dispatched before the previous recovery's landmarks
             # went live cannot have matched them — don't stack a second
-            # re-seed (near-duplicate landmarks make the ratio test
+            # recovery (near-duplicate landmarks make the ratio test
             # reject everything) on their artifact-low counts; the extra
-            # reseed_after spacing gives the fresh map time to prove
+            # reseed_after spacing gives the fresh anchor time to prove
             # itself before it is declared failed again
             and frame_idx - self.last_kf_frame > p.pipeline_depth + p.reseed_after
         )
+        if recovery_due:
+            if self._relocalize(frame_idx, outputs):
+                return  # re-anchored on the old map; no keyframe this frame
+            reseed = not self._mono and n_stereo_keys >= p.kf_min_stereo
         if reseed or self._kf_decision(frame_idx, n_keys, n_inl, n_stereo_inl):
             n_used = self._insert_keyframe(
                 frame_idx, pose, outputs, layout, ages, reseed=reseed
@@ -1088,6 +1095,57 @@ class StereoTracker:
                 self.miss_age = ages
             else:
                 self.miss_age = _map_ages(self.active_ids, layout, ages)
+
+    def _relocalize(self, frame_idx: int, outputs: dict) -> bool:
+        """Global relocalization (models/reloc.py): retrieve the keyframe
+        whose observation descriptors best match the current frame, reset
+        the pose there with zero velocity, and reload the active set with
+        that keyframe's (+ covisible neighbors') landmarks so the normal
+        wide-radius matching re-acquires on the ORIGINAL map. Returns
+        False when no keyframe clears the vote floor (the caller then
+        falls back to the map re-seed)."""
+        from vslam_tpu.models import reloc
+
+        w = self.world
+        if w.n_keyframes == 0:
+            return False
+        p = self.params
+        best, votes, T_opt = reloc.retrieve(
+            w, outputs["keys"], w.n_keyframes, K=self.K,
+            baseline=float(self.baseline),
+            min_inliers=max(p.min_inliers // 2, 20),
+        )
+        if best < 0:
+            return False
+        ids = w.kf_obs_lm[best]
+        ids = ids[ids >= 0]
+        covis = w.covisible_kfs(best)
+        if len(covis):
+            more = w.kf_obs_lm[covis]
+            ids = np.unique(np.concatenate([ids, more[more >= 0]]))
+        A = p.active_size
+        out = np.full(A, -1, np.int64)
+        out[: min(len(ids), A)] = ids[:A]
+        self.active_ids = out
+        self.miss_age = np.zeros(A, np.int64)
+        # the geometrically-verified solve gives the actual camera pose
+        # (the retrieved KF's pose is only its initialization)
+        pose = np.asarray(T_opt, np.float32)
+        self.pose = pose.copy()
+        self.prev_pose = pose.copy()  # zero velocity restart
+        self.velocity = np.zeros(3, np.float32)
+        # rebuild the device state at the retrieved pose; frames already
+        # in the dispatch pipeline were computed pre-relocalization and
+        # will process as lost — the recovery grace period absorbs them
+        self._state = self._fresh_state(self.pose)
+        self.lost_streak = 0
+        self.last_kf_frame = frame_idx
+        self.last_kf_slot = best
+        rel = np.linalg.inv(w.kf_poses_host[best]) @ pose
+        self.frame_records.append((best, rel.astype(np.float32)))
+        self.last_kf_tracked = max(votes, 1)
+        self.counters.inc("relocalizations")
+        return True
 
     def _kf_decision(self, frame_idx: int, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:
         """Keyframe policy — the reference's boolean structure
