@@ -1,0 +1,262 @@
+"""Loop closure: detection, landmark merge, pose-graph correction.
+
+The reference carries loop-closure STATE (include/Map.h:122-127,
+KeyFrame::LCPose) and checks its flags in both threads — but no detector
+ever sets them; LC is vestigial (SURVEY.md §2 quirks). This module makes
+it real, TPU-first:
+
+1. DETECT — when a new keyframe is inserted, its stored observation
+   descriptors sweep every keyframe's table (models/reloc.keyframe_votes,
+   a lax.map of MXU Hamming matmuls), excluding the covisible set and the
+   `min_gap` most recent keyframes (those match trivially).
+2. VERIFY — the candidate must pass the geometric check: the new KF's
+   keys matched to the old KF's landmark-bearing keys, then a motion-only
+   LM from the old KF's pose must find a chi-squared-consistent inlier
+   set. This yields the new camera's pose IN THE OLD (drift-free-er) part
+   of the map, i.e. the loop edge measurement.
+3. CORRECT — an SE(3) pose graph (models/pose_graph) over all keyframes:
+   the odometry chain (relative poses from current estimates, the same
+   self-referential construction the reference's BetweenFactor chain
+   uses) plus the verified loop edge. This distributes the accumulated
+   drift along the trajectory — global BA alone cannot do it (the stiff
+   odometry chain holds the drifted shape and the chi-squared sweep kills
+   the loop landmarks' huge residuals).
+4. MERGE + RE-ANCHOR — duplicate landmarks (the new KF re-observed old
+   structure under new ids) are merged old<-new by a device-side id remap
+   over the observation tables, and every landmark moves rigidly with its
+   first observing keyframe's pose-graph correction. A follow-up
+   `LocalMapper.run_global` then polishes the now-consistent map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.models import map_state, pose_graph, reloc
+
+MIN_GAP = 12  # keyframes that must separate a loop pair (else it's covis)
+ODO_WEIGHT = 100.0  # 1/sigma of the chain edges (reference sigma 0.01)
+LOOP_WEIGHT = 100.0
+
+
+@jax.jit
+def _apply_correction(
+    m: map_state.MapArrays,
+    new_poses: jax.Array,  # (Wg, 4, 4) pose-graph output (padded)
+    kf_valid: jax.Array,  # (Wg,) bool
+    delta: jax.Array,  # (Wg, 4, 4) T_new @ inv(T_old) per keyframe
+    lm_anchor: jax.Array,  # (P,) int32 first observing KF (or 0)
+    lm_touch: jax.Array,  # (P,) bool — landmarks to move
+    remap: jax.Array,  # (P,) int32 landmark id remap (identity + merges)
+    merged_away: jax.Array,  # (P,) bool — ids merged into another id
+):
+    """One fused write-back: keyframe poses, rigidly-moved landmarks,
+    observation-table id remap, merged-slot invalidation."""
+    W = m.kf_pose.shape[0]
+    Wg = new_poses.shape[0]
+    idx = jnp.arange(Wg)
+    ks = jnp.where(kf_valid, idx, W)
+    kf_pose = m.kf_pose.at[ks].set(new_poses, mode="drop")
+
+    d = delta[jnp.clip(lm_anchor, 0, Wg - 1)]  # (P, 4, 4)
+    moved = jnp.einsum("pij,pj->pi", d[:, :3, :3], m.lm_pos) + d[:, :3, 3]
+    lm_pos = jnp.where(lm_touch[:, None], moved, m.lm_pos)
+
+    obs_lm = jnp.where(m.obs_lm >= 0, remap[jnp.clip(m.obs_lm, 0, None)], -1)
+    obs_r_lm = jnp.where(
+        m.obs_r_lm >= 0, remap[jnp.clip(m.obs_r_lm, 0, None)], -1
+    )
+    lm_valid = m.lm_valid & ~merged_away
+    return dataclasses.replace(
+        m,
+        kf_pose=kf_pose,
+        lm_pos=lm_pos,
+        obs_lm=obs_lm.astype(jnp.int32),
+        obs_r_lm=obs_r_lm.astype(jnp.int32),
+        lm_valid=lm_valid,
+    )
+
+
+class LoopCloser:
+    def __init__(self, world: map_state.WorldMap, K, baseline, min_votes: int = 60, min_inliers: int = 30, min_gap: int = MIN_GAP):
+        self.world = world
+        self.K = np.asarray(K, np.float32)
+        self.baseline = float(baseline)
+        self.min_votes = min_votes
+        self.min_inliers = min_inliers
+        self.min_gap = min_gap
+        self.closures = 0
+
+    # ------------------------------------------------------------------
+    def detect(self, kf_slot: int) -> tuple[int, np.ndarray | None]:
+        """Candidate old keyframe for a loop at `kf_slot`, with the
+        geometrically-verified pose of kf_slot's camera in the old map
+        region. Returns (-1, None) if none."""
+        w = self.world
+        n = w.n_keyframes
+        if n < self.min_gap + 2 or kf_slot < self.min_gap:
+            return -1, None
+        keys = types.SimpleNamespace(
+            desc=w.arrays.obs_desc[kf_slot],
+            valid=w.arrays.obs_valid[kf_slot],
+            xy=w.arrays.obs_uv[kf_slot][:, :2],
+        )
+        votes = np.array(
+            reloc.keyframe_votes(
+                w.arrays.obs_desc,
+                w.arrays.obs_valid,
+                w.arrays.kf_valid,
+                keys.desc,
+                keys.valid,
+            )
+        )
+        votes[n:] = 0
+        # exclude the trivially-matching neighborhood: recent KFs + covis
+        votes[max(0, kf_slot - self.min_gap) : kf_slot + 1] = 0
+        covis = w.covisible_kfs(kf_slot, max_n=20, min_weight=1)
+        votes[covis] = 0
+        best = int(np.argmax(votes))
+        if votes[best] < self.min_votes:
+            return -1, None
+        T_opt, n_inl = reloc._verify_candidate(
+            w.arrays,
+            jnp.int32(best),
+            keys.xy,
+            keys.desc,
+            keys.valid,
+            jnp.asarray(self.K),
+            jnp.float32(self.baseline),
+        )
+        if int(n_inl) < self.min_inliers:
+            return -1, None
+        T_opt = np.asarray(T_opt)
+        if not np.isfinite(T_opt).all():
+            return -1, None
+        return best, T_opt
+
+    # ------------------------------------------------------------------
+    def close(self, kf_slot: int, old_kf: int, T_loop: np.ndarray) -> dict:
+        """Apply the closure: pose graph over all keyframes with the loop
+        edge inv(pose_old) @ T_loop between (old_kf, kf_slot), rigid
+        landmark re-anchoring, duplicate-landmark merge. Returns
+        re-anchoring info ({kf_slot, old_pose, new_pose}) for the
+        tracker."""
+        w = self.world
+        n = w.n_keyframes
+        old_last = w.kf_poses_host[kf_slot].copy()
+
+        # ---- pose graph ----
+        Wg = 1
+        while Wg < n:
+            Wg *= 2
+        poses = np.tile(np.eye(4, dtype=np.float32), (Wg, 1, 1))
+        poses[:n] = w.kf_poses_host[:n]
+        valid = np.zeros(Wg, bool)
+        valid[:n] = True
+        E = Wg  # n-1 chain edges + 1 loop edge, padded
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        rel = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+        ew = np.zeros(E, np.float32)
+        for i in range(n - 1):
+            ei[i], ej[i] = i, i + 1
+            rel[i] = np.linalg.inv(poses[i]) @ poses[i + 1]
+            ew[i] = ODO_WEIGHT
+        ei[n - 1], ej[n - 1] = old_kf, kf_slot
+        rel[n - 1] = np.linalg.inv(poses[old_kf]) @ T_loop
+        ew[n - 1] = LOOP_WEIGHT
+
+        new_poses, err = pose_graph.optimize(
+            jnp.asarray(poses),
+            jnp.asarray(valid),
+            jnp.asarray(ei),
+            jnp.asarray(ej),
+            jnp.asarray(rel),
+            jnp.asarray(ew),
+            iters=25,
+        )
+        new_poses_np = np.asarray(new_poses)
+
+        # ---- landmark anchors: first observing keyframe ----
+        P = w.lm_capacity
+        anchor = np.full(P, -1, np.int64)
+        for k in range(n - 1, -1, -1):  # descending: earliest KF wins
+            ids = w.kf_obs_lm[k]
+            ids = ids[ids >= 0]
+            anchor[ids] = k
+        touched = anchor >= 0
+        delta = np.einsum(
+            "kij,kjl->kil",
+            new_poses_np[:Wg],
+            np.linalg.inv(poses[:Wg]),
+        ).astype(np.float32)
+
+        # ---- duplicate merge: new KF's landmarks vs old KF's, matched by
+        # descriptor among the verified region (old id wins) ----
+        remap = np.arange(P, dtype=np.int64)
+        merged = np.zeros(P, bool)
+        pairs = self._merge_pairs(kf_slot, old_kf)
+        for new_id, old_id in pairs:
+            if new_id != old_id and not merged[old_id]:
+                remap[new_id] = old_id
+                merged[new_id] = True
+
+        with w.update_lock:
+            w.arrays = _apply_correction(
+                w.arrays,
+                new_poses,
+                jnp.asarray(valid),
+                jnp.asarray(delta),
+                jnp.asarray(np.maximum(anchor, 0), jnp.int32),
+                jnp.asarray(touched),
+                jnp.asarray(remap, jnp.int32),
+                jnp.asarray(merged),
+            )
+            w.kf_poses_host[:n] = new_poses_np[:n]
+            live = w.kf_obs_lm >= 0
+            w.kf_obs_lm[live] = remap[w.kf_obs_lm[live]]
+            live_r = w.kf_obs_r_lm >= 0
+            w.kf_obs_r_lm[live_r] = remap[w.kf_obs_r_lm[live_r]]
+        self.closures += 1
+        return {
+            "kf_slot": kf_slot,
+            "old_kf": old_kf,
+            "old_pose": old_last,
+            "new_pose": w.kf_poses_host[kf_slot].copy(),
+            "pose_graph_error": float(err),
+            "n_merged": int(merged.sum()),
+        }
+
+    def _merge_pairs(self, kf_new: int, kf_old: int) -> list[tuple[int, int]]:
+        """(new_lm, old_lm) pairs: keys of the two keyframes matched by
+        descriptor where both carry landmarks."""
+        w = self.world
+        dn = np.asarray(w.arrays.obs_desc[kf_new], np.int32)
+        do = np.asarray(w.arrays.obs_desc[kf_old], np.int32)
+        vn = np.array(w.arrays.obs_valid[kf_new])
+        vo = np.array(w.arrays.obs_valid[kf_old])
+        ln = w.kf_obs_lm[kf_new]
+        lo = w.kf_obs_lm[kf_old]
+        d = (dn.shape[1] - dn @ do.T) * 0.5  # Hamming
+        d[~vn | (ln < 0)] = 1e9
+        d[:, ~vo | (lo < 0)] = 1e9
+        best = np.argmin(d, axis=1)
+        bd = d[np.arange(len(best)), best]
+        ok = bd <= reloc.RETRIEVAL_DESC_THR
+        return [
+            (int(ln[i]), int(lo[best[i]]))
+            for i in np.nonzero(ok)[0]
+            if ln[i] >= 0 and lo[best[i]] >= 0
+        ]
+
+    # ------------------------------------------------------------------
+    def try_close(self, kf_slot: int) -> dict | None:
+        old_kf, T_loop = self.detect(kf_slot)
+        if old_kf < 0:
+            return None
+        return self.close(kf_slot, old_kf, T_loop)

@@ -33,6 +33,7 @@ class VSlamSystem:
         tracker_params: tracker.TrackerParams | None = None,
         io_rectified: bool = False,
         shards: int | str | None = None,
+        loop_closure: bool = True,
     ):
         """`io_rectified=True` declares that incoming frames were already
         undistorted+rectified by the IO pipeline (native prefetcher with
@@ -43,7 +44,13 @@ class VSlamSystem:
         (`"auto"` = all visible devices) — the production path to the
         distributed Schur BA (vslam_tpu.parallel.sharded_ba); the
         reference's single GTSAM thread (src/System.cpp:18-19) has no
-        analog. None/1 = single-device BA."""
+        analog. None/1 = single-device BA.
+
+        `loop_closure`: detect revisits at every keyframe (descriptor
+        retrieval + geometric verification) and correct the whole
+        trajectory with an SE(3) pose graph + landmark merge
+        (models/loop_closure.py). The reference's loop-closure state is
+        vestigial — no detector ever drives it (SURVEY.md §2 quirks)."""
         self.conf = conf
         self.mode = mode if mode is not None else conf.slam_mode
         self.rig = cam.StereoCamera.from_config(conf)
@@ -128,6 +135,13 @@ class VSlamSystem:
             )
             self._maps = (jnp.asarray(ml), jnp.asarray(mr))
 
+        self.loop_closer = None
+        if loop_closure:
+            from vslam_tpu.models import loop_closure as lc_mod
+
+            self.loop_closer = lc_mod.LoopCloser(
+                self.world, K, self.rig.baseline
+            )
         self._async = async_ba
         self._pending_ba: dict | None = None
         self._ba_dispatch_frame = -1
@@ -164,6 +178,20 @@ class VSlamSystem:
         self._pending_ba = None
         self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
         self.tracker.add_active(r.get("new_lm_ids", ()))
+        self._try_loop_closure(r["kf_slot"])
+
+    def _try_loop_closure(self, kf_slot: int):
+        """Post-BA loop detection for the newest keyframe; on a verified
+        closure the whole trajectory is pose-graph corrected, duplicate
+        landmarks merge, and the tracker re-anchors on the corrected
+        map."""
+        if self.loop_closer is None:
+            return
+        r = self.loop_closer.try_close(kf_slot)
+        if r is None:
+            return
+        self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+        self.tracker.refresh_after_ba()
 
     # ------------------------------------------------------------------
     def _imu_to_dt_rows(self, rows) -> np.ndarray | None:
@@ -238,6 +266,7 @@ class VSlamSystem:
                     r = self.mapper.run(slot, mono=mono)
                     self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
                     self.tracker.add_active(r["new_lm_ids"])
+                    self._try_loop_closure(slot)
 
     def exit(self):
         """Drain the pipeline and the in-flight BA (the reference's
