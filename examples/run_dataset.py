@@ -5,7 +5,7 @@ Usage:
         [--limit N] [--out traj.txt] [--async-ba] [--no-prefetch]
         [--checkpoint ck.npz] [--checkpoint-every N] [--resume ck.npz]
         [--viz map.html] [--ply map.ply] [--global-ba] [--shards N|auto]
-        [--debug-dir DIR] [--debug-every N]
+        [--loop-closure] [--debug-dir DIR] [--debug-every N]
 
 Mirrors the reference drivers (src/VIOSlam.cpp:141-329,
 src/VIOSlamMono.cpp:112-275): loads the YAML config, enumerates the
@@ -93,6 +93,9 @@ def main():
     ap.add_argument("--shards", default=None,
                     help="shard the local BA over an N-device mesh "
                          "('auto' = all visible devices)")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="detect + close trajectory loops at keyframes "
+                         "(pose-graph correction, landmark merge)")
     ap.add_argument("--debug-dir", default=None,
                     help="write tracked-keypoint overlay PNGs here")
     ap.add_argument("--debug-every", type=int, default=10, metavar="N",
@@ -121,7 +124,7 @@ def main():
         shards = int(shards)
     system = VSlamSystem(
         conf, async_ba=args.async_ba, io_rectified=maps is not None,
-        shards=shards,
+        shards=shards, loop_closure=args.loop_closure,
     )
     ds = open_dataset(conf, args.data_root)
     start = 0

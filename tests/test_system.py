@@ -303,3 +303,21 @@ def test_save_trajectory_formats(tmp_path, scene):
     )
     tum = np.loadtxt(out + ".tum")
     assert tum.shape == (n, 8)
+
+
+def test_facade_loop_closure_smoke(tmp_path, scene):
+    """loop_closure=True wires a LoopCloser and runs detection after
+    every keyframe's BA without disturbing a loop-free run (detection
+    returns None; trajectory unchanged semantics). The closure math
+    itself is covered by tests/test_loop_closure.py."""
+    n = 10
+    conf = ConfigFile(_write_config(tmp_path, slam_mode=1))
+    sys_ = system.VSlamSystem(
+        conf, lm_capacity=8192, kf_capacity=64, tracker_params=_params(),
+        loop_closure=True,
+    )
+    assert sys_.loop_closer is not None
+    poses = _run_system(sys_, scene, n)
+    assert sys_.loop_closer.closures == 0  # nothing to close, nothing broken
+    ate = trajectory.ate_rmse(poses, scene.poses_c2w[:n], align=False)
+    assert ate < 0.03, ate

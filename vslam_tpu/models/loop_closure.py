@@ -106,11 +106,19 @@ class LoopCloser:
             valid=w.arrays.obs_valid[kf_slot],
             xy=w.arrays.obs_uv[kf_slot][:, :2],
         )
-        votes = np.array(
+        # sweep only the live keyframe prefix, padded to a doubling menu
+        # of static shapes (the full kf_capacity sweep wastes W/n of the
+        # work and the per-shape recompiles are log2-bounded)
+        Wc = 16
+        while Wc < n and Wc < w.kf_capacity:
+            Wc *= 2
+        Wc = min(Wc, w.kf_capacity)
+        votes = np.zeros(max(w.kf_capacity, Wc), np.int64)
+        votes[:Wc] = np.array(
             reloc.keyframe_votes(
-                w.arrays.obs_desc,
-                w.arrays.obs_valid,
-                w.arrays.kf_valid,
+                w.arrays.obs_desc[:Wc],
+                w.arrays.obs_valid[:Wc],
+                w.arrays.kf_valid[:Wc],
                 keys.desc,
                 keys.valid,
             )

@@ -99,11 +99,19 @@ def retrieve(world, keys, n_keyframes: int, K=None, baseline=0.0, min_inliers: i
     verified. Returns (slot, votes, T_opt) — slot=-1 when no keyframe
     clears MIN_VOTES or the verification solve finds < min_inliers
     chi-squared-consistent matches."""
-    votes = np.array(
+    # sweep only the live keyframe prefix, padded to a doubling menu of
+    # static shapes (log2-bounded recompiles; the full-capacity sweep
+    # wastes capacity/n of the work)
+    Wc = 16
+    while Wc < n_keyframes and Wc < world.kf_capacity:
+        Wc *= 2
+    Wc = min(Wc, world.kf_capacity)
+    votes = np.zeros(max(world.kf_capacity, Wc), np.int64)
+    votes[:Wc] = np.array(
         keyframe_votes(
-            world.arrays.obs_desc,
-            world.arrays.obs_valid,
-            world.arrays.kf_valid,
+            world.arrays.obs_desc[:Wc],
+            world.arrays.obs_valid[:Wc],
+            world.arrays.kf_valid[:Wc],
             keys.desc,
             keys.valid,
         )

@@ -33,7 +33,7 @@ class VSlamSystem:
         tracker_params: tracker.TrackerParams | None = None,
         io_rectified: bool = False,
         shards: int | str | None = None,
-        loop_closure: bool = True,
+        loop_closure: bool = False,
     ):
         """`io_rectified=True` declares that incoming frames were already
         undistorted+rectified by the IO pipeline (native prefetcher with
@@ -50,7 +50,10 @@ class VSlamSystem:
         retrieval + geometric verification) and correct the whole
         trajectory with an SE(3) pose graph + landmark merge
         (models/loop_closure.py). The reference's loop-closure state is
-        vestigial — no detector ever drives it (SURVEY.md §2 quirks)."""
+        vestigial — no detector ever drives it (SURVEY.md §2 quirks).
+        Opt-in: the retrieval sweep costs one batched Hamming pass over
+        the keyframe tables per inserted keyframe (driver
+        --loop-closure)."""
         self.conf = conf
         self.mode = mode if mode is not None else conf.slam_mode
         self.rig = cam.StereoCamera.from_config(conf)
