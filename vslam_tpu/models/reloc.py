@@ -94,7 +94,7 @@ def _verify_candidate(
     return T_opt, jnp.sum(inl)
 
 
-def retrieve(world, keys, n_keyframes: int, K=None, baseline=0.0, min_inliers: int = 25):
+def retrieve(world, keys, n_keyframes: int, K, baseline=0.0, min_inliers: int = 25):
     """Best keyframe slot for the current frame's keys, geometrically
     verified. Returns (slot, votes, T_opt) — slot=-1 when no keyframe
     clears MIN_VOTES or the verification solve finds < min_inliers
