@@ -595,9 +595,10 @@ class LocalMapper:
             from vslam_tpu.parallel import sharded_ba
 
             n = mesh.devices.size
-            if self._lm_cap % n:
+            if self._lm_cap % n or self._obs_cap % n:
                 raise ValueError(
-                    f"mesh size {n} must divide landmark slots {self._lm_cap}"
+                    f"mesh size {n} must divide landmark slots "
+                    f"{self._lm_cap} and observation rows {self._obs_cap}"
                 )
             self._sharded = sharded_ba.sharded_two_rounds(
                 mesh, iters1=self.cfg.iters_round1, iters2=self.cfg.iters_round2

@@ -129,14 +129,38 @@ def _odometry_residual_and_jacobians(p: BAProblem):
     return r * w, Ji * w[..., None], Jj * w[..., None]
 
 
+def _obs_slice(p: BAProblem, axis_name: str | None):
+    """This shard's observation-row slice (the full problem when
+    unsharded). Inputs are replicated; the SLICE is what makes the O(O)
+    linearization scale with the mesh."""
+    if axis_name is None:
+        return p
+    O = p.obs_kf.shape[0]
+    n = jax.lax.psum(1, axis_name)
+    i = jax.lax.axis_index(axis_name)
+    Oloc = O // n
+    off = i * Oloc
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, Oloc, axis=0)
+    return p._replace(
+        obs_kf=sl(p.obs_kf),
+        obs_lm=sl(p.obs_lm),
+        obs_uv=sl(p.obs_uv),
+        obs_stereo=sl(p.obs_stereo),
+        obs_right=sl(p.obs_right),
+        obs_w=sl(p.obs_w),
+        obs_valid=sl(p.obs_valid),
+    )
+
+
 def ba_error(p: BAProblem, axis_name: str | None = None) -> jax.Array:
-    # axis_name unused: under the slab-sharded scheme every shard holds the
-    # full observation set, so the error is replicated by construction
-    # (kept in the signature for call-site symmetry)
-    del axis_name
-    r, _, _ = _obs_residual_and_jacobians(p)
+    """Total error; each shard sums its observation-row slice and one
+    psum replicates the result (uniform accept/reject branches)."""
+    ps = _obs_slice(p, axis_name)
+    r, _, _ = _obs_residual_and_jacobians(ps)
+    err = jnp.sum(r * r)
+    err = _psum(err, axis_name)
     ro, _, _ = _odometry_residual_and_jacobians(p)
-    return 0.5 * (jnp.sum(r * r) + jnp.sum(ro * ro))
+    return 0.5 * (err + jnp.sum(ro * ro))
 
 
 def _slab(axis_name: str | None, L: int):
@@ -196,25 +220,63 @@ def _assemble(p: BAProblem, axis_name: str | None = None):
     """Build the blocked normal equations.
 
     Sharding scheme (inside a shard_map over `axis_name`, ALL inputs
-    replicated): the cheap O(O) linearization and the small pose blocks
-    (Hpp, gp) are computed redundantly on every shard, while the LANDMARK
-    dimension — where both memory (Hpl is W x L blocks) and the dominant
-    O(W^2 L) Schur reduction live — is split into per-shard slabs by
-    masked scatter. Communication is then only the psum of the (W,W,6,6)
-    reduced system + reduced gradient and an all_gather of landmark
-    deltas, independent of the observation count (the scaling-book
-    recipe: replicate the small, shard the big, let collectives carry
-    only reduced quantities)."""
+    replicated): BOTH big dimensions are sharded. Each shard linearizes
+    only its OBSERVATION-ROW slice (the O(O) Jacobian work — on a real
+    chip this dominates the iteration, so replicating it capped 1->2
+    scaling at ~1.2x), scatter-assembles full-L blocks from its rows,
+    and a psum_scatter (reduce_scatter) lands each shard's LANDMARK SLAB
+    fully summed — where the O(W^2 L) Schur reduction then runs. The
+    small pose blocks (Hpp, gp) psum whole. Communication per LM
+    iteration: reduce_scatter of the (W, L, 6, 3) Hpl partials + psum of
+    Hpp and of the (6W)^2 reduced system + all_gather of landmark deltas
+    (the scaling-book recipe: shard the big dims, let collectives carry
+    summed block quantities)."""
     L = p.pts.shape[0]
-    r, Jp, Jl = _obs_residual_and_jacobians(p)
-
-    # zero out Jacobians for fixed poses (gauge, NonlinearEquality analog)
     free = (~p.fixed) & p.pose_valid
-    Jp = Jp * free[p.obs_kf][:, None, None]
 
-    Lloc, off = _slab(axis_name, L)
-    Hll, Hpl, gl = _slab_system(p, r, Jp, Jl, off, Lloc)
-    Hpp, gp = _pose_system(p, r, Jp, free)
+    if axis_name is None:
+        r, Jp, Jl = _obs_residual_and_jacobians(p)
+        Jp = Jp * free[p.obs_kf][:, None, None]
+        Hll, Hpl, gl = _slab_system(p, r, Jp, Jl, 0, L)
+        Hpp, gp = _pose_system(p, r, Jp, free)
+        return Hpp, Hll, Hpl, gp, gl
+
+    ps = _obs_slice(p, axis_name)
+    r, Jp, Jl = _obs_residual_and_jacobians(ps)
+    Jp = Jp * free[ps.obs_kf][:, None, None]
+
+    W = p.poses.shape[0]
+    # full-L blocks from this shard's rows (obs_lm is always in [0, L))
+    Hll = jnp.zeros((L, 3, 3)).at[ps.obs_lm].add(
+        jnp.einsum("oik,oil->okl", Jl, Jl)
+    )
+    Hpl = jnp.zeros((W, L, 6, 3)).at[ps.obs_kf, ps.obs_lm].add(
+        jnp.einsum("oik,oil->okl", Jp, Jl)
+    )
+    gl = jnp.zeros((L, 3)).at[ps.obs_lm].add(jnp.einsum("oik,oi->ok", Jl, r))
+    Hpp = jnp.zeros((W, W, 6, 6)).at[ps.obs_kf, ps.obs_kf].add(
+        jnp.einsum("oik,oil->okl", Jp, Jp)
+    )
+    gp = jnp.zeros((W, 6)).at[ps.obs_kf].add(jnp.einsum("oik,oi->ok", Jp, r))
+
+    # reduce_scatter the landmark dimension; psum the pose blocks
+    Hll = jax.lax.psum_scatter(Hll, axis_name, scatter_dimension=0, tiled=True)
+    Hpl = jax.lax.psum_scatter(Hpl, axis_name, scatter_dimension=1, tiled=True)
+    gl = jax.lax.psum_scatter(gl, axis_name, scatter_dimension=0, tiled=True)
+    Hpp, gp = jax.lax.psum((Hpp, gp), axis_name)
+
+    # odometry chain added ONCE, after the psum (it is replicated)
+    ro, Ji, Jj = _odometry_residual_and_jacobians(p)
+    Ji = Ji * free[:-1][:, None, None]
+    Jj = Jj * free[1:][:, None, None]
+    idx_i = jnp.arange(W - 1)
+    idx_j = idx_i + 1
+    Hpp = Hpp.at[idx_i, idx_i].add(jnp.einsum("oik,oil->okl", Ji, Ji))
+    Hpp = Hpp.at[idx_j, idx_j].add(jnp.einsum("oik,oil->okl", Jj, Jj))
+    Hpp = Hpp.at[idx_i, idx_j].add(jnp.einsum("oik,oil->okl", Ji, Jj))
+    Hpp = Hpp.at[idx_j, idx_i].add(jnp.einsum("oik,oil->okl", Jj, Ji))
+    gp = gp.at[idx_i].add(jnp.einsum("oik,oi->ok", Ji, ro))
+    gp = gp.at[idx_j].add(jnp.einsum("oik,oi->ok", Jj, ro))
     return Hpp, Hll, Hpl, gp, gl
 
 
