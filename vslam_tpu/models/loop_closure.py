@@ -72,6 +72,25 @@ def _apply_correction(
         m.obs_r_lm >= 0, remap[jnp.clip(m.obs_r_lm, 0, None)], -1
     )
     lm_valid = m.lm_valid & ~merged_away
+    # fold each merged-away landmark's descriptor accumulator into its
+    # remap target: the merged observations now belong to the target's
+    # observation set, and writeback_ba SUBTRACTS a killed observation's
+    # descriptor from lm_bitsum[obs_lm] — without this fold a post-merge
+    # chi-squared kill would subtract a never-added descriptor, drifting
+    # lm_nobs negative and corrupting the majority descriptor (same
+    # invariant _apply_triangulation documents for the add side).
+    P = m.lm_pos.shape[0]
+    contrib = jnp.where(merged_away[:, None], m.lm_bitsum, 0)
+    cnt = jnp.where(merged_away, m.lm_nobs, 0)
+    tgt = jnp.where(merged_away, remap, P)
+    lm_bitsum = m.lm_bitsum.at[tgt].add(contrib, mode="drop")
+    lm_nobs = m.lm_nobs.at[tgt].add(cnt, mode="drop")
+    tgt_safe = jnp.where(merged_away, remap, 0)
+    bs = lm_bitsum[tgt_safe]
+    maj = jnp.where(
+        bs > 0, 1, jnp.where(bs < 0, -1, m.lm_desc[tgt_safe])
+    ).astype(jnp.int8)
+    lm_desc = m.lm_desc.at[tgt].set(maj, mode="drop")
     return dataclasses.replace(
         m,
         kf_pose=kf_pose,
@@ -79,6 +98,9 @@ def _apply_correction(
         obs_lm=obs_lm.astype(jnp.int32),
         obs_r_lm=obs_r_lm.astype(jnp.int32),
         lm_valid=lm_valid,
+        lm_bitsum=lm_bitsum,
+        lm_nobs=lm_nobs,
+        lm_desc=lm_desc,
     )
 
 
@@ -190,13 +212,19 @@ class LoopCloser:
         )
         new_poses_np = np.asarray(new_poses)
 
-        # ---- landmark anchors: first observing keyframe ----
+        # ---- landmark anchors: first observing keyframe (left AND
+        # right-camera tables — a landmark observed only in the right
+        # table must still move with its keyframe, else it is left at its
+        # drifted position while every pose moves) ----
         P = w.lm_capacity
         anchor = np.full(P, -1, np.int64)
         for k in range(n - 1, -1, -1):  # descending: earliest KF wins
             ids = w.kf_obs_lm[k]
             ids = ids[ids >= 0]
             anchor[ids] = k
+            ids_r = w.kf_obs_r_lm[k]
+            ids_r = ids_r[ids_r >= 0]
+            anchor[ids_r] = k
         touched = anchor >= 0
         delta = np.einsum(
             "kij,kjl->kil",

@@ -508,10 +508,15 @@ def _track_step(
             # failure-gate diagnostics (SURVEY.md §5 observability): why a
             # frame was refused is host-visible without extra fetches
             jnp.stack([sol_jump, ang_jump, t_floor]),
+            # the device's own refusal decision: the host counts THIS bit
+            # toward lost_streak, so jump-type refusals (healthy inlier
+            # count, implausible solution) trigger relocalization/reseed
+            # the same way inlier starvation does
+            lost.astype(jnp.float32)[None],
         ]
     )
     # the ONE device->host transfer per frame:
-    # [pose 16 | vel 3 | bias 6 | stats 8 | miss_age A]
+    # [pose 16 | vel 3 | bias 6 | stats 9 | miss_age A]
     blob = jnp.concatenate(
         [
             T_opt.reshape(-1),
@@ -1035,7 +1040,7 @@ class StereoTracker:
         n_m, n_inl, n_stereo_inl, n_keys, n_stereo_keys = (
             int(x) for x in blob[25:30]
         )
-        ages = blob[33 : 33 + A].astype(np.int64)
+        ages = blob[34 : 34 + A].astype(np.int64)
         self.last_stats = {
             "n_matched": n_m,
             "n_inliers": n_inl,
@@ -1045,6 +1050,7 @@ class StereoTracker:
             "sol_jump": float(blob[30]),
             "ang_jump": float(blob[31]),
             "gate_floor": float(blob[32]),
+            "lost": bool(blob[33] > 0.5),
         }
         if self.debug_hook is not None:
             self.debug_hook(frame_idx, pose, outputs, self.last_stats)
@@ -1058,7 +1064,11 @@ class StereoTracker:
         # 2. else RE-SEED (stereo only): a keyframe at the dead-reckoned
         #    pose whose close-stereo spawns are uncapped (like frame-0
         #    map init) starts a rigidly-offset fresh map.
-        lost = n_inl < p.min_inliers // 2
+        # the device's lost bit covers BOTH refusal modes — inlier
+        # starvation AND translation/rotation-jump refusals with a healthy
+        # inlier count (the latter dead-reckon with voided matches; a
+        # sustained streak of them needs relocalization just as much)
+        lost = self.last_stats["lost"]
         self.lost_streak = self.lost_streak + 1 if lost else 0
         reseed = False
         recovery_due = (

@@ -35,7 +35,7 @@ def _smooth_trajectory(n_frames: int, dt: float, speed: float = 1.2, yaw_rate: f
     ts = np.arange(n_frames) * dt
     import jax.numpy as jnp
 
-    R = np.asarray(se3.so3_expmap(jnp.asarray(np.atleast_2d(rotvec(ts).reshape(-1, 3)), jnp.float64).astype(jnp.float32)))
+    R = np.asarray(se3.so3_expmap(jnp.asarray(np.atleast_2d(rotvec(ts).reshape(-1, 3)), jnp.float32)))
     poses = np.tile(np.eye(4), (n_frames, 1, 1))
     poses[:, :3, :3] = R
     poses[:, :3, 3] = pos(ts)
