@@ -88,6 +88,78 @@ def test_sharded_two_rounds_realistic_size_runs():
     assert np.isfinite(float(err))
 
 
+def test_sharded_slabbed_matches_single_device():
+    """The COMPOSED path — mesh-sharded linearization + slab-chunked
+    Schur reduction (run_global at map scale) — must match both the
+    unsharded-slabbed and the plain single-device kernels (VERDICT r3
+    item 2's done-criterion)."""
+    p, poses_gt, pts_gt = _build_problem(W=8, L=128, seed=5)
+    mesh = mesh_mod.make_mesh(N_DEV, axis=sharded_ba.AXIS)
+    # L=128, n_slabs=4, mesh=8 -> 4-landmark sub-slabs per shard
+    step = sharded_ba.sharded_two_rounds(mesh, iters1=5, iters2=10, n_slabs=4)
+
+    p_ss, err_ss, kill_ss = sharded_ba.run_problem(step, p)
+    p_sl, err_sl, kill_sl = schur.local_ba_two_rounds(
+        p, iters1=5, iters2=10, n_slabs=4
+    )
+    p_d, err_d, kill_d = schur.local_ba_two_rounds(p, iters1=5, iters2=10)
+
+    for w in range(len(poses_gt)):
+        for other in (p_sl, p_d):
+            rel = np.linalg.inv(np.asarray(other.poses)[w]) @ np.asarray(
+                p_ss.poses
+            )[w]
+            xi = np.asarray(se3.se3_logmap(jnp.asarray(rel)))
+            assert np.abs(xi).max() < 1e-3, (w, xi)
+    np.testing.assert_allclose(
+        np.asarray(p_ss.pts), np.asarray(p_d.pts), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(kill_ss), np.asarray(kill_d))
+    assert abs(float(err_ss) - float(err_d)) <= 1e-2 * max(float(err_d), 1.0)
+
+
+def test_global_ba_uses_mesh_when_slabbed(monkeypatch):
+    """run_global with a configured mesh AND a slab-chunked reduction must
+    route through the sharded kernel (the round-3 gap: ops/schur raised on
+    axis_name + n_slabs, so map-scale global BA ran single-device exactly
+    where the mesh pays most)."""
+    from vslam_tpu.utils import synthetic
+
+    scene = synthetic.make_scene(
+        n_frames=10, n_points=400, width=320, height=240, fps=10.0, seed=11
+    )
+    params = tracker.TrackerParams(
+        n_features=512, n_levels=4, active_size=1024, kf_min_stereo=60
+    )
+    mesh = mesh_mod.make_mesh(N_DEV, axis=sharded_ba.AXIS)
+    world = map_state.WorldMap(lm_capacity=8192, kf_capacity=64, keys_per_kf=512)
+    trk = tracker.StereoTracker(
+        scene.K.astype(np.float32), scene.baseline, scene.width, scene.height,
+        world, params,
+    )
+    mapper = local_mapper.LocalMapper(
+        world, scene.K.astype(np.float32), scene.baseline, mesh=mesh
+    )
+    for f in range(10):
+        nk = len(trk.new_kf_slots)
+        trk.track(scene.render(f), scene.render(f, right=True))
+        if len(trk.new_kf_slots) > nk and trk.new_kf_slots[-1] > 0:
+            r = mapper.run(trk.new_kf_slots[-1])
+            trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+            trk.add_active(r["new_lm_ids"])
+    trk.flush()
+    # force the memory guard to chunk (tiny budget + low slab floor) and
+    # verify the sharded cache gains an n_slabs>1 variant = the composed
+    # kernel actually ran
+    monkeypatch.setattr(mapper, "GLOBAL_SLAB_BYTES", 1 << 10)
+    monkeypatch.setattr(mapper, "GLOBAL_MIN_SLAB", 128)
+    r = mapper.run_global()
+    assert r is not None and np.isfinite(r["error"])
+    assert any(k > 1 for k in mapper._sharded_cache), (
+        "global BA did not take the sharded slab-chunked path"
+    )
+
+
 @pytest.mark.slow
 def test_sharded_mapper_end_to_end_matches_single_device():
     """Full tracking+mapping loop with the SHARDED mapper vs the

@@ -591,6 +591,7 @@ class LocalMapper:
         self._lm_cap = self.cfg.lm_cap or LM_SLOTS
         self.mesh = mesh
         self._sharded = None
+        self._sharded_cache: dict[int, object] = {}
         if mesh is not None and mesh.devices.size > 1:
             from vslam_tpu.parallel import sharded_ba
 
@@ -603,6 +604,20 @@ class LocalMapper:
             self._sharded = sharded_ba.sharded_two_rounds(
                 mesh, iters1=self.cfg.iters_round1, iters2=self.cfg.iters_round2
             )
+            self._sharded_cache[1] = self._sharded
+
+    def _get_sharded(self, n_slabs: int):
+        """Sharded 2-round BA variant with the Schur reduction chunked
+        over `n_slabs` landmark slabs per shard (map-scale global BA);
+        variants are cached per slab count (log2-bounded set)."""
+        if n_slabs not in self._sharded_cache:
+            from vslam_tpu.parallel import sharded_ba
+
+            self._sharded_cache[n_slabs] = sharded_ba.sharded_two_rounds(
+                self.mesh, iters1=self.cfg.iters_round1,
+                iters2=self.cfg.iters_round2, n_slabs=n_slabs,
+            )
+        return self._sharded_cache[n_slabs]
 
     # ------------------------------------------------------------------
     def find_new_points(self, kf_slot: int, mono: bool = False) -> np.ndarray:
@@ -858,11 +873,16 @@ class LocalMapper:
 
         # round 1 -> chi2 sweep -> round 2 -> final kill mask, ONE device
         # program (reference 543-873; fused to avoid per-stage dispatch
-        # RTTs); sharded over the mesh when one is configured
-        if self._sharded is not None and n_slabs == 1:
+        # RTTs); sharded over the mesh when one is configured — INCLUDING
+        # the slab-chunked global-BA path (mesh sharding composes with
+        # slab chunking since round 4; the mesh pays off most exactly at
+        # map scale)
+        if self._sharded is not None:
             from vslam_tpu.parallel import sharded_ba
 
-            p2, err, kill = sharded_ba.run_problem(self._sharded, p)
+            p2, err, kill = sharded_ba.run_problem(
+                self._get_sharded(n_slabs), p
+            )
         else:
             p2, err, kill = schur.local_ba_two_rounds(
                 p, iters1=cfg.iters_round1, iters2=cfg.iters_round2,
@@ -925,6 +945,9 @@ class LocalMapper:
     # one (Wg, L_cap/n_slabs, 6, 3) f32 block must fit comfortably next
     # to the (6Wg)^2 reduced system
     GLOBAL_SLAB_BYTES = 256 << 20
+    # landmark-slab floor: chunking below this trades away MXU tile
+    # efficiency for memory that is no longer scarce
+    GLOBAL_MIN_SLAB = 1024
 
     def run_global(self, max_landmarks: int = 1 << 17) -> dict | None:
         """GLOBAL bundle adjustment: one 2-round Schur LM over EVERY valid
@@ -981,20 +1004,50 @@ class LocalMapper:
         n_obs = int((tbl >= 0).sum()) + int((tbl_r >= 0).sum())
         full_rows = Wg * (w.keys_per_kf + w.right_obs_per_kf)
         obs_cap = _round_cap(n_obs + 1024, 4096, full_rows)
+        if self._sharded is not None:
+            # the sharded kernel slices obs rows as O // mesh_size per shard
+            # (schur._obs_slice) — a non-divisible obs_cap would silently
+            # exclude the last O % n rows from linearization. Round UP to a
+            # multiple of the mesh size (extra rows are dead padding).
+            n_mesh = self.mesh.devices.size
+            obs_cap = -(-obs_cap // n_mesh) * n_mesh
+            if L_cap % n_mesh:
+                L_cap = -(-L_cap // n_mesh) * n_mesh
+                lm_ids = np.concatenate(
+                    [ids, np.full(L_cap - n_ids, sentinel, np.int64)]
+                )
+                lm_pad_valid = np.arange(L_cap) < n_ids
 
         # memory guard: chunk the Schur reduction so one Hpl slab fits the
         # budget (n_slabs divides L_cap; both are powers of two)
         hpl_bytes = Wg * L_cap * 18 * 4
         n_slabs = 1
         while (
-            hpl_bytes // n_slabs > self.GLOBAL_SLAB_BYTES and n_slabs < L_cap // 1024
+            hpl_bytes // n_slabs > self.GLOBAL_SLAB_BYTES
+            and n_slabs < L_cap // self.GLOBAL_MIN_SLAB
         ):
             n_slabs *= 2
+        if self._sharded is not None and n_slabs > 1:
+            # the composed sharded+slabbed kernel psum_scatters each slab
+            # into mesh-size sub-slabs: L_cap must divide by n_slabs * mesh
+            n_mesh = self.mesh.devices.size
+            q = n_slabs * n_mesh
+            if L_cap % q:
+                L_cap = -(-L_cap // q) * q
+                lm_ids = np.concatenate(
+                    [ids, np.full(L_cap - n_ids, sentinel, np.int64)]
+                )
+                lm_pad_valid = np.arange(L_cap) < n_ids
         if n_slabs > 1:
             print(
                 f"[local_mapper] global BA: W={n} L={n_ids} -> Schur "
                 f"reduction chunked over {n_slabs} landmark slabs "
                 f"({hpl_bytes >> 20} MiB dense Hpl)"
+                + (
+                    f", sharded over {self.mesh.devices.size} devices"
+                    if self._sharded is not None
+                    else ""
+                )
             )
 
         cfg = self.cfg

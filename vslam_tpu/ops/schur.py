@@ -194,14 +194,11 @@ def _slab_system(p: BAProblem, r, Jp, Jl, off, Lloc: int):
     return Hll, Hpl, gl
 
 
-def _pose_system(p: BAProblem, r, Jp, free):
-    """Replicated pose blocks: Hpp (W,W,6,6) and gp (W,6), including the
-    odometry BetweenFactor chain (reference src/OptimizationBA.cpp:750-768)."""
+def _add_odometry(p: BAProblem, Hpp, gp, free):
+    """Fold the odometry BetweenFactor chain into the pose blocks
+    (reference src/OptimizationBA.cpp:750-768). Called once on replicated
+    blocks — after the psum when sharded."""
     W = p.poses.shape[0]
-    Hpp = jnp.zeros((W, W, 6, 6))
-    Hpp = Hpp.at[p.obs_kf, p.obs_kf].add(jnp.einsum("oik,oil->okl", Jp, Jp))
-    gp = jnp.zeros((W, 6)).at[p.obs_kf].add(jnp.einsum("oik,oi->ok", Jp, r))
-
     ro, Ji, Jj = _odometry_residual_and_jacobians(p)
     Ji = Ji * free[:-1][:, None, None]
     Jj = Jj * free[1:][:, None, None]
@@ -214,6 +211,16 @@ def _pose_system(p: BAProblem, r, Jp, free):
     gp = gp.at[idx_i].add(jnp.einsum("oik,oi->ok", Ji, ro))
     gp = gp.at[idx_j].add(jnp.einsum("oik,oi->ok", Jj, ro))
     return Hpp, gp
+
+
+def _pose_system(p: BAProblem, r, Jp, free):
+    """Replicated pose blocks: Hpp (W,W,6,6) and gp (W,6), including the
+    odometry BetweenFactor chain (reference src/OptimizationBA.cpp:750-768)."""
+    W = p.poses.shape[0]
+    Hpp = jnp.zeros((W, W, 6, 6))
+    Hpp = Hpp.at[p.obs_kf, p.obs_kf].add(jnp.einsum("oik,oil->okl", Jp, Jp))
+    gp = jnp.zeros((W, 6)).at[p.obs_kf].add(jnp.einsum("oik,oi->ok", Jp, r))
+    return _add_odometry(p, Hpp, gp, free)
 
 
 def _assemble(p: BAProblem, axis_name: str | None = None):
@@ -266,17 +273,7 @@ def _assemble(p: BAProblem, axis_name: str | None = None):
     Hpp, gp = jax.lax.psum((Hpp, gp), axis_name)
 
     # odometry chain added ONCE, after the psum (it is replicated)
-    ro, Ji, Jj = _odometry_residual_and_jacobians(p)
-    Ji = Ji * free[:-1][:, None, None]
-    Jj = Jj * free[1:][:, None, None]
-    idx_i = jnp.arange(W - 1)
-    idx_j = idx_i + 1
-    Hpp = Hpp.at[idx_i, idx_i].add(jnp.einsum("oik,oil->okl", Ji, Ji))
-    Hpp = Hpp.at[idx_j, idx_j].add(jnp.einsum("oik,oil->okl", Jj, Jj))
-    Hpp = Hpp.at[idx_i, idx_j].add(jnp.einsum("oik,oil->okl", Ji, Jj))
-    Hpp = Hpp.at[idx_j, idx_i].add(jnp.einsum("oik,oil->okl", Jj, Ji))
-    gp = gp.at[idx_i].add(jnp.einsum("oik,oi->ok", Ji, ro))
-    gp = gp.at[idx_j].add(jnp.einsum("oik,oi->ok", Jj, ro))
+    Hpp, gp = _add_odometry(p, Hpp, gp, free)
     return Hpp, Hll, Hpl, gp, gl
 
 
@@ -432,6 +429,82 @@ def _schur_solve_slabbed(p: BAProblem, lam, n_slabs: int):
     return delta_p, delta_l
 
 
+def _schur_solve_sharded_slabbed(p: BAProblem, lam, n_slabs: int, axis_name: str):
+    """One damped Schur LM step, mesh-sharded AND slab-chunked — the
+    composition run_global needs at map scale (VERDICT r3 item 2): each
+    shard linearizes only its OBSERVATION-ROW slice (the O(O) work that
+    dominates on a real chip), and the landmark dimension is processed in
+    `n_slabs` sequential GLOBAL slabs. Within each slab the shard
+    scatter-assembles (W, L/n_slabs, 6, 3) partial blocks from its rows
+    and a psum_scatter lands it a fully-summed SUB-slab of
+    L/(n_slabs * mesh) landmarks, where the O(W^2 L) reduction runs —
+    so reduction compute scales 1/mesh AND peak memory holds one slab
+    instead of the full (W, L, 6, 3) block (multi-GB at map scale).
+    Collectives per LM iteration: n_slabs x (reduce_scatter of Hll/Hpl/gl
+    slab partials) + one psum of the (6W)^2 reduced system + n_slabs x
+    all_gather of landmark deltas. Requires L % (n_slabs * mesh) == 0."""
+    W = p.poses.shape[0]
+    L = p.pts.shape[0]
+    Lslab = L // n_slabs
+    ps = _obs_slice(p, axis_name)
+    r, Jp, Jl = _obs_residual_and_jacobians(ps)
+    free = (~p.fixed) & p.pose_valid
+    Jp = Jp * free[ps.obs_kf][:, None, None]
+
+    # pose blocks from this shard's rows -> psum -> odometry added once
+    Hpp = jnp.zeros((W, W, 6, 6)).at[ps.obs_kf, ps.obs_kf].add(
+        jnp.einsum("oik,oil->okl", Jp, Jp)
+    )
+    gp = jnp.zeros((W, 6)).at[ps.obs_kf].add(jnp.einsum("oik,oi->ok", Jp, r))
+    Hpp, gp = jax.lax.psum((Hpp, gp), axis_name)
+    Hpp, gp = _add_odometry(p, Hpp, gp, free)
+
+    def slab_blocks(off):
+        """This shard's fully-summed SUB-slab blocks of slab [off, off+Lslab):
+        Hll (Lsub,3,3), Hpl (W,Lsub,6,3), gl (Lsub,3), with Lsub =
+        Lslab / mesh (static from the psum_scatter output shape)."""
+        Hll, Hpl, gl = _slab_system(ps, r, Jp, Jl, off, Lslab)
+        Hll = jax.lax.psum_scatter(Hll, axis_name, scatter_dimension=0, tiled=True)
+        Hpl = jax.lax.psum_scatter(Hpl, axis_name, scatter_dimension=1, tiled=True)
+        gl = jax.lax.psum_scatter(gl, axis_name, scatter_dimension=0, tiled=True)
+        return Hll, Hpl, gl
+
+    def reduce_slab(i, carry):
+        S_acc, b_acc = carry
+        off = i * Lslab
+        Hll, Hpl, gl = slab_blocks(off)
+        Hll_inv, _ = _damped_inv3(Hll, lam)
+        Lsub = Hll.shape[0]
+        M = jnp.einsum("alij,ljk->alik", Hpl, Hll_inv)
+        M2 = M.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lsub)
+        H2 = Hpl.transpose(0, 2, 1, 3).reshape(6 * W, 3 * Lsub)
+        return S_acc + M2 @ H2.T, b_acc + jnp.einsum("alik,lk->ai", M, gl)
+
+    S_red, b_red = jax.lax.fori_loop(
+        0, n_slabs, reduce_slab,
+        (jnp.zeros((6 * W, 6 * W)), jnp.zeros((W, 6))),
+    )
+    # each shard reduced only its sub-slabs: one psum completes the sum
+    S_red, b_red = jax.lax.psum((S_red, b_red), axis_name)
+    delta_p = _solve_reduced(p, Hpp, gp, S_red, b_red, lam)
+
+    def backsub_slab(i, dl):
+        off = i * Lslab
+        Hll, Hpl, gl = slab_blocks(off)
+        Hll_inv, observed = _damped_inv3(Hll, lam)
+        rhs = -gl - jnp.einsum("alij,ai->lj", Hpl, delta_p)
+        dls = jnp.einsum("ljk,lk->lj", Hll_inv, rhs)
+        Lsub = dls.shape[0]
+        off_sub = off + jax.lax.axis_index(axis_name) * Lsub
+        pt_valid_s = jax.lax.dynamic_slice_in_dim(p.pt_valid, off_sub, Lsub)
+        dls = jnp.where((observed & pt_valid_s)[:, None], dls, 0.0)
+        gathered = jax.lax.all_gather(dls, axis_name, axis=0, tiled=True)
+        return jax.lax.dynamic_update_slice(dl, gathered, (off, 0))
+
+    delta_l = jax.lax.fori_loop(0, n_slabs, backsub_slab, jnp.zeros((L, 3)))
+    return delta_p, delta_l
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "axis_name", "n_slabs"))
 def local_ba(
     p: BAProblem, iters: int = 5, lambda0: float = 1e-4, rel_tol: float = 1e-5,
@@ -448,11 +521,10 @@ def local_ba(
     axis): the accept/reject and convergence logic runs on psum'd errors,
     so every shard takes identical branches and the loop stays uniform.
 
-    With `n_slabs > 1` (single-device only) the Schur reduction runs
-    slab-chunked for bounded memory — the global-BA path at map scale."""
-    if axis_name is not None and n_slabs != 1:
-        raise ValueError("n_slabs chunking is the single-device path only")
-
+    With `n_slabs > 1` the Schur reduction runs slab-chunked for bounded
+    memory — the global-BA path at map scale. Slab chunking COMPOSES with
+    `axis_name`: sharded linearization + per-slab psum_scatter reduction
+    (see _schur_solve_sharded_slabbed)."""
     err0 = ba_error(p, axis_name)
 
     def cond(carry):
@@ -461,7 +533,9 @@ def local_ba(
 
     def body(carry):
         p, lam, err, i, _ = carry
-        if n_slabs > 1:
+        if n_slabs > 1 and axis_name is not None:
+            dp, dl = _schur_solve_sharded_slabbed(p, lam, n_slabs, axis_name)
+        elif n_slabs > 1:
             dp, dl = _schur_solve_slabbed(p, lam, n_slabs)
         else:
             Hpp, Hll, Hpl, gp, gl = _assemble(p, axis_name)

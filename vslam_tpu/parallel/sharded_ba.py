@@ -39,7 +39,9 @@ from vslam_tpu.ops import schur
 AXIS = "ba"
 
 
-def sharded_two_rounds(mesh: Mesh, iters1: int = 5, iters2: int = 10):
+def sharded_two_rounds(
+    mesh: Mesh, iters1: int = 5, iters2: int = 10, n_slabs: int = 1
+):
     """Build a jitted sharded 2-round local BA over `mesh`.
 
     ALL inputs are replicated — the sharding is over the COMPUTATION's
@@ -49,6 +51,12 @@ def sharded_two_rounds(mesh: Mesh, iters1: int = 5, iters2: int = 10):
     collectives are the psum of the (6W)^2 reduced system and the
     all_gather of landmark deltas. The landmark count must be divisible
     by the mesh size. Returns (poses, pts, err, kill), all replicated.
+
+    `n_slabs > 1` additionally chunks each shard's Schur reduction over
+    sequential landmark slabs (schur._schur_solve_sharded_slabbed) — the
+    map-scale global-BA composition: per-shard memory holds one
+    (W, L/n_slabs, 6, 3) slab while reduction compute still scales
+    1/mesh. Requires L % (n_slabs * mesh_size) == 0.
     """
     n_in = 16
 
@@ -72,7 +80,7 @@ def sharded_two_rounds(mesh: Mesh, iters1: int = 5, iters2: int = 10):
             odo_rel=odo_rel, odo_valid=odo_valid,
         )
         p2, err, kill = schur.local_ba_two_rounds(
-            p, iters1=iters1, iters2=iters2, axis_name=AXIS
+            p, iters1=iters1, iters2=iters2, axis_name=AXIS, n_slabs=n_slabs
         )
         return p2.poses, p2.pts, err, kill
 
