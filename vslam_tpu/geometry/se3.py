@@ -98,6 +98,21 @@ def se3_logmap(T: jax.Array) -> jax.Array:
     return jnp.concatenate([w, v], axis=-1)
 
 
+def orthonormalize(T: jax.Array) -> jax.Array:
+    """Project the rotation block of (..., 4, 4) transforms back onto
+    SO(3) via a quaternion round trip (normalize, reconstruct). Repeated
+    f32 pose composition drifts the rotation's scale; composing a drifted
+    pose with itself (the constant-velocity prediction
+    T_pred = T inv(T_prev) T) SQUARES the drift per frame, which turns a
+    lost-tracking dead-reckon streak into a doubling-exponent runaway
+    (observed: |t| 5 m -> inf in 6 refused frames). One cheap projection
+    per frame resets the drift the way every accepted LM retraction
+    (expmap) does implicitly."""
+    q = rot_to_quat(T[..., :3, :3])
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return rt_to_mat(quat_to_rot(q), T[..., :3, 3])
+
+
 def rt_to_mat(R: jax.Array, t: jax.Array) -> jax.Array:
     """(..., 3, 3) + (..., 3) -> (..., 4, 4)."""
     batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])

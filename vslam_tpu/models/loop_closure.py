@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vslam_tpu.models import map_state, pose_graph, reloc
+from vslam_tpu.ops import hamming
 
 MIN_GAP = 12  # keyframes that must separate a loop pair (else it's covis)
 ODO_WEIGHT = 100.0  # 1/sigma of the chain edges (reference sigma 0.01)
@@ -113,6 +114,7 @@ class LoopCloser:
         self.min_inliers = min_inliers
         self.min_gap = min_gap
         self.closures = 0
+        self._last_cand = None  # (kf_slot, old_kf) of the last detection
 
     # ------------------------------------------------------------------
     def detect(self, kf_slot: int) -> tuple[int, np.ndarray | None]:
@@ -124,7 +126,7 @@ class LoopCloser:
         if n < self.min_gap + 2 or kf_slot < self.min_gap:
             return -1, None
         keys = types.SimpleNamespace(
-            desc=w.arrays.obs_desc[kf_slot],
+            desc=hamming.unpack_signed(w.arrays.obs_desc[kf_slot]),
             valid=w.arrays.obs_valid[kf_slot],
             xy=w.arrays.obs_uv[kf_slot][:, :2],
         )
@@ -146,14 +148,24 @@ class LoopCloser:
             )
         )
         votes[n:] = 0
-        # exclude the trivially-matching neighborhood: recent KFs + covis
+        # exclude the trivially-matching neighborhood: recent KFs + EVERY
+        # covisible KF (uncapped — a capped top-N once let a weakly-covis
+        # keyframe through as a "loop", the classic self-similar-corridor
+        # false positive)
         votes[max(0, kf_slot - self.min_gap) : kf_slot + 1] = 0
-        covis = w.covisible_kfs(kf_slot, max_n=20, min_weight=1)
+        covis = w.covisible_kfs(kf_slot, max_n=n, min_weight=1)
         votes[covis] = 0
         best = int(np.argmax(votes))
         if votes[best] < self.min_votes:
             return -1, None
-        T_opt, n_inl = reloc._verify_candidate(
+        # contiguity support: a real revisit re-observes a RUN of old
+        # keyframes (the visible arc spans several), so the neighbors of
+        # the peak must vote too; an aliasing spike is solitary
+        lo, hi = max(0, best - 2), min(n, best + 3)
+        neighbors = np.delete(votes[lo:hi], best - lo)
+        if (neighbors >= self.min_votes // 2).sum() < 1:
+            return -1, None
+        T_opt, n_inl, n_match = reloc._verify_candidate(
             w.arrays,
             jnp.int32(best),
             keys.xy,
@@ -162,7 +174,10 @@ class LoopCloser:
             jnp.asarray(self.K),
             jnp.float32(self.baseline),
         )
-        if int(n_inl) < self.min_inliers:
+        if (
+            int(n_inl) < self.min_inliers
+            or int(n_inl) < reloc.MIN_INLIER_FRAC * int(n_match)
+        ):
             return -1, None
         T_opt = np.asarray(T_opt)
         if not np.isfinite(T_opt).all():
@@ -211,6 +226,13 @@ class LoopCloser:
             iters=25,
         )
         new_poses_np = np.asarray(new_poses)
+        if not (
+            np.isfinite(float(err))
+            and np.isfinite(new_poses_np[:n]).all()
+        ):
+            # a diverged pose graph must never be written into the map
+            # (one NaN keyframe pose poisons every descendant frame pose)
+            return None
 
         # ---- landmark anchors: first observing keyframe (left AND
         # right-camera tables — a landmark observed only in the right
@@ -272,8 +294,8 @@ class LoopCloser:
         """(new_lm, old_lm) pairs: keys of the two keyframes matched by
         descriptor where both carry landmarks."""
         w = self.world
-        dn = np.asarray(w.arrays.obs_desc[kf_new], np.int32)
-        do = np.asarray(w.arrays.obs_desc[kf_old], np.int32)
+        dn = hamming.unpack_signed_np(w.arrays.obs_desc[kf_new]).astype(np.int32)
+        do = hamming.unpack_signed_np(w.arrays.obs_desc[kf_old]).astype(np.int32)
         vn = np.array(w.arrays.obs_valid[kf_new])
         vo = np.array(w.arrays.obs_valid[kf_old])
         ln = w.kf_obs_lm[kf_new]
@@ -295,4 +317,17 @@ class LoopCloser:
         old_kf, T_loop = self.detect(kf_slot)
         if old_kf < 0:
             return None
-        return self.close(kf_slot, old_kf, T_loop)
+        # temporal consistency: two CONSECUTIVE keyframes must retrieve
+        # the same old region (within the visible-arc span) before a
+        # closure is applied — systematic aliasing can fake one
+        # geometric verification, but two agreeing verifications from
+        # different poses make the loop edge trustworthy (the same
+        # consecutive-detection rule ORB-SLAM's DBoW detector uses).
+        prev = self._last_cand
+        self._last_cand = (kf_slot, old_kf)
+        if prev is None or kf_slot - prev[0] > 3 or abs(old_kf - prev[1]) > 4:
+            return None
+        r = self.close(kf_slot, old_kf, T_loop)
+        if r is not None:
+            self._last_cand = None  # don't chain off a just-closed loop
+        return r

@@ -138,9 +138,18 @@ def stereo_residuals(
     r_v = v_l - obs[:, 1]
     r_ur = jnp.where(is_stereo, u_r - obs[:, 2], 0.0)
 
-    behind = pc[..., 2] <= 0.05
-    w = jnp.where(valid & ~behind, weights, 0.0)
-    res = jnp.stack([r_u, r_v, r_ur], axis=-1) * w[:, None]
+    # A behind-camera landmark must COST, not vanish: zero-weighting
+    # behind rows created a degenerate global minimum — push the camera
+    # past the whole matched cloud and every residual (hence the total
+    # cost) becomes exactly zero, so a garbage correspondence set
+    # "converges" there with a perfect inlier count (observed: a
+    # teleport-scene relocalization verified 84/84). The clamped-z
+    # projection already yields a huge pixel residual for behind points;
+    # clip it to +-512 px so one such row dominates a good row (~1 px)
+    # without overflowing f32 squared sums.
+    w = jnp.where(valid, weights, 0.0)
+    res = jnp.stack([r_u, r_v, r_ur], axis=-1)
+    res = jnp.clip(res, -512.0, 512.0) * w[:, None]
     return res
 
 
@@ -155,6 +164,11 @@ def reproj_chi2(
         T_wc, pts_w, obs, ones, is_stereo, is_right, valid, K, baseline
     )
     e2 = jnp.sum(res * res, axis=-1)
+    # behind-camera rows can never classify as inliers (their clipped
+    # residual could in principle still land under the gate)
+    T_cw = se3.inverse(T_wc)
+    z = se3.transform_points(T_cw, pts_w)[..., 2]
+    e2 = jnp.where(z <= 0.05, 1e12, e2)
     return e2 * inv_sigma2
 
 

@@ -71,8 +71,14 @@ def _project_residual(T_wc, pt, uv, is_stereo, is_right, K, baseline):
     r_u = jnp.where(is_right, u_r, u_l) - uv[0]
     r_v = fy * pc[1] / z + cy - uv[1]
     r_ur = jnp.where(is_stereo, u_r - uv[2], 0.0)
-    behind = pc[2] <= 0.05
-    return jnp.where(behind, 0.0, jnp.stack([r_u, r_v, r_ur]))
+    # behind-camera observations must COST, not vanish: a zero residual
+    # for behind rows makes "push the landmark (or the camera) past the
+    # other" a zero-cost direction — a degenerate global minimum the LM
+    # happily falls into on bad correspondence sets (same bug class as
+    # ops/lm.stereo_residuals, fixed together). The z-clamped projection
+    # already explodes the pixel residual; clip at +-512 px so one
+    # behind row dominates a good row without overflowing f32 sums.
+    return jnp.clip(jnp.stack([r_u, r_v, r_ur]), -512.0, 512.0)
 
 
 def _psum(x, axis_name):
@@ -598,4 +604,8 @@ def obs_chi2(p: BAProblem) -> jax.Array:
             T, pt, uv, st, rt, p.K, p.baseline
         )
     )(T_o, pt_o, p.obs_uv, p.obs_stereo, p.obs_right)
-    return jnp.sum(r * r, axis=-1) * (p.obs_w**2)
+    chi2 = jnp.sum(r * r, axis=-1) * (p.obs_w**2)
+    # a behind-camera row can never classify as an inlier
+    T_cw = jax.vmap(se3.inverse)(T_o)
+    z = jnp.einsum("oi,oi->o", T_cw[:, 2, :3], pt_o) + T_cw[:, 2, 3]
+    return jnp.where(z <= 0.05, 1e12, chi2)
