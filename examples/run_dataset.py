@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="restore a checkpoint and continue from its frame")
     ap.add_argument("--viz", default=None, help="HTML map viewer output path")
+    ap.add_argument("--viz-every", type=int, default=0, metavar="N",
+                    help="with --viz: ALSO rewrite the viewer every N new "
+                         "keyframes during the run (atomic replace; the "
+                         "headless live-view analog)")
     ap.add_argument("--ply", default=None, help="PLY point-cloud output path")
     ap.add_argument("--global-ba", action="store_true",
                     help="final full-map bundle adjustment before saving")
@@ -151,6 +155,13 @@ def main():
     t0 = time.time()
     n = 0
     kfs_at_ckpt = system.world.n_keyframes
+    live_viz = None
+    if args.viz and args.viz_every > 0:
+        from vslam_tpu.utils import viz as viz_mod
+
+        live_viz = viz_mod.LiveMapWriter(
+            args.viz, system.world, every_n_kf=args.viz_every
+        )
     for frame in ds.frames(args.limit, maps=maps, prefetch=use_native):
         if _stop:
             break
@@ -177,6 +188,8 @@ def main():
             system.exit()  # drain in-flight BA so the snapshot is consistent
             ckpt_io.save_checkpoint(args.checkpoint, system.world, system.tracker)
             kfs_at_ckpt = system.world.n_keyframes
+        if live_viz is not None:
+            live_viz.maybe_export(system.tracker)
         if n % 50 == 0:
             fps = n / (time.time() - t0)
             print(f"frame {n}  {fps:.1f} fps  kfs={system.world.n_keyframes} lms={system.world.n_landmarks}")
@@ -197,10 +210,16 @@ def main():
 
         poses = system.trajectory()
         if args.viz:
-            viz.export_html(args.viz, system.world, poses)
+            viz.export_html(
+                args.viz, system.world, poses,
+                active_ids=system.tracker.active_ids,
+            )
             print(f"viz -> {args.viz}")
         if args.ply:
-            viz.export_ply(args.ply, system.world, poses)
+            viz.export_ply(
+                args.ply, system.world, poses,
+                active_ids=system.tracker.active_ids,
+            )
             print(f"ply -> {args.ply}")
     print(f"done: {n} frames in {wall:.1f}s ({n/max(wall,1e-9):.1f} fps) -> {args.out}")
     import json

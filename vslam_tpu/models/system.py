@@ -106,6 +106,14 @@ class VSlamSystem:
                 K, self.rig.baseline, self.rig.width, self.rig.height, self.world,
                 params, imu_cfg=imu_cfg,
             )
+        # optional explicit world gravity (config `IMU.gravity: [x,y,z]`):
+        # the reference's init is a hardcoded axis permutation of the
+        # first accel sample that assumes EuRoC's sensor mounting
+        # (src/VIOSlam.cpp:274) — any other rig needs the true vector
+        g = conf.get("IMU", "gravity", default=None)
+        if g is not None and imu_cfg is not None:
+            self.tracker.set_gravity(np.asarray(g, np.float32))
+            self._gravity_set = True
         mesh = None
         if shards is not None and shards != 1:
             import jax

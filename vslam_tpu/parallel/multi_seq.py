@@ -26,8 +26,10 @@ exactly as in single-sequence mode.
 
 Constraints: all sequences must share resolution and tracker config
 (static shapes); per-sequence intrinsics/baselines are supported
-(batched operands). Stereo mode without IMU in v1 — the IMU state
-machinery is per-sequence identical and can batch the same way.
+(batched operands). Stereo and stereo-IMU modes batch; per-sequence
+IMU constants (gravity after each sequence's one-time init, T_bc,
+noise params) ride as batched operands, per-frame IMU sample bins as a
+stacked (S, max_samples, 7) array.
 """
 
 from __future__ import annotations
@@ -52,11 +54,16 @@ class BatchedStereoFrontend:
                 (p.n_features, p.n_levels, p.active_size, t.width, t.height)
                 == (p0.n_features, p0.n_levels, p0.active_size, t0.width, t0.height)
             ), "batched sequences must share resolution and tracker shapes"
-            assert t.imu_cfg is None and t0.imu_cfg is None, (
-                "v1 batches the stereo (no-IMU) mode"
+            assert (t.imu_cfg is None) == (t0.imu_cfg is None), (
+                "all batched sequences must agree on IMU mode"
             )
+            if t.imu_cfg is not None:
+                assert t.imu_cfg.max_samples == t0.imu_cfg.max_samples, (
+                    "batched IMU sequences must share max_samples"
+                )
         self.trackers = trackers
         self.S = len(trackers)
+        self._has_imu = t0.imu_cfg is not None
         self._K_b = jnp.stack([t.K for t in trackers])
         self._bl_b = jnp.stack(
             [jnp.asarray(t.baseline, jnp.float32) for t in trackers]
@@ -65,15 +72,21 @@ class BatchedStereoFrontend:
         self._stack = jax.jit(
             lambda *states: jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         )
+        # batched IMU constants: gravity differs per sequence once each
+        # one-time gravity init ran (set_gravity replaces the tracker's
+        # _imu_const tuple), so the stack is rebuilt lazily whenever any
+        # tracker's tuple identity changed
+        self._const_b = None
+        self._const_ids = None
 
         p = p0
 
-        def step(LR, state, imu, radii, K, baseline):
+        def step(LR, state, imu, imu_const, radii, K, baseline):
             return tracker_mod._track_step(
                 LR,
                 state,
                 imu,
-                t0._imu_const,
+                imu_const,
                 radii,
                 jnp.float32(p.refine_radius),
                 jnp.float32(p.desc_thr),
@@ -87,24 +100,34 @@ class BatchedStereoFrontend:
                 p.n_levels,
                 p.min_inliers,
                 mono=False,
-                has_imu=False,
+                has_imu=self._has_imu,
             )
 
         self._vstep = jax.jit(
-            jax.vmap(step, in_axes=(0, 0, 0, None, 0, 0))
+            jax.vmap(step, in_axes=(0, 0, 0, 0, None, 0, 0))
         )
 
+    def _imu_const_b(self):
+        ids = tuple(id(t._imu_const) for t in self.trackers)
+        if ids != self._const_ids:
+            self._const_b = self._stack(*[t._imu_const for t in self.trackers])
+            self._const_ids = ids
+        return self._const_b
+
     # ------------------------------------------------------------------
-    def track(self, frames) -> list[np.ndarray]:
+    def track(self, frames, imu=None) -> list[np.ndarray]:
         """One frame for every sequence. `frames` = list of (left, right)
-        numpy pairs, or a pre-staged (S, 2, H, W) device array. Returns
-        the newest PROCESSED pose per sequence (lagging by each
-        tracker's pipeline depth, exactly as single-sequence track())."""
+        numpy pairs, or a pre-staged (S, 2, H, W) device array. `imu` =
+        list of per-sequence [dt, gyro, accel] row arrays (None entries
+        allowed) when the batch runs stereo-IMU. Returns the newest
+        PROCESSED pose per sequence (lagging by each tracker's pipeline
+        depth, exactly as single-sequence track())."""
         ts = self.trackers
         if ts[0].frame_idx == 0:
             # frame 0 = per-sequence map init (one-time, unbatched)
-            for t, f in zip(ts, frames):
-                t.track(np.asarray(f[0]), np.asarray(f[1]))
+            for i, (t, f) in enumerate(zip(ts, frames)):
+                rows = imu[i] if imu is not None else None
+                t.track(np.asarray(f[0]), np.asarray(f[1]), imu=rows)
             return [t.pose.copy() for t in ts]
 
         for t in ts:
@@ -116,9 +139,20 @@ class BatchedStereoFrontend:
             )
         else:
             LR = jnp.asarray(frames)
+        if self._has_imu and imu is not None:
+            Sm = ts[0].imu_cfg.max_samples
+            pad = np.zeros((self.S, Sm, 7), np.float32)
+            for i, rows in enumerate(imu):
+                if rows is None:
+                    continue  # dt==0 pads are no-ops in the preintegrator
+                r = np.asarray(rows, np.float32)[:Sm]
+                pad[i, : len(r)] = r
+            imu_b = jnp.asarray(pad)
+        else:
+            imu_b = self._imu_b
         radii = ts[0]._radii_first if ts[0].frame_idx == 1 else ts[0]._radii
         new_state, outputs = self._vstep(
-            LR, batched, self._imu_b, radii, self._K_b, self._bl_b
+            LR, batched, imu_b, self._imu_const_b(), radii, self._K_b, self._bl_b
         )
         outputs["blob"].copy_to_host_async()
         for s, t in enumerate(ts):

@@ -20,7 +20,9 @@ import numpy as np
 
 from vslam_tpu.models import map_state
 
-FORMAT_VERSION = 2  # v2: majority-descriptor accumulator fields (lm_bitsum, lm_nobs)
+FORMAT_VERSION = 3  # v3: obs_desc stored bit-packed (W, K, 8) uint32
+# v2: majority-descriptor accumulator fields (lm_bitsum, lm_nobs);
+#     obs_desc in the +-1 int8 (W, K, 256) form — converted on load
 
 
 def save_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> None:
@@ -86,7 +88,7 @@ def load_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> dict:
     `tracker` if given). Returns the metadata dict."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta_json"]).decode())
-    if meta["version"] != FORMAT_VERSION:
+    if meta["version"] not in (2, FORMAT_VERSION):
         raise ValueError(f"checkpoint version {meta['version']} != {FORMAT_VERSION}")
     for cap in ("keys_per_kf",):
         if meta[cap] != getattr(world, cap):
@@ -113,6 +115,12 @@ def load_checkpoint(path: str, world: map_state.WorldMap, tracker=None) -> dict:
         f.name: jnp.asarray(data[f"map.{f.name}"])
         for f in dataclasses.fields(world.arrays)
     }
+    if meta["version"] == 2:
+        # v2 stored obs_desc as +-1 int8 (W, K, 256); the live layout is
+        # bit-packed uint32 (W, K, 8)
+        from vslam_tpu.ops import hamming
+
+        kwargs["obs_desc"] = hamming.pack_signed(kwargs["obs_desc"])
     world.arrays = map_state.MapArrays(**kwargs)
     world.kf_obs_lm = data["host.kf_obs_lm"].copy()
     if "host.kf_obs_r_lm" in data:

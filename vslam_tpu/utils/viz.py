@@ -22,22 +22,43 @@ import numpy as np
 from vslam_tpu.models import map_state
 
 
-def _collect(world: map_state.WorldMap, trajectory: np.ndarray | None):
+def _collect(
+    world: map_state.WorldMap,
+    trajectory: np.ndarray | None,
+    active_ids: np.ndarray | None = None,
+):
+    """Gather exportable landmark positions + per-landmark activity.
+    `active_ids` = the tracker's live active-set slots; landmarks in it
+    are colored "active" like the reference's viewer distinguishes
+    activeMapPoints from the rest (src/Visualization.cpp:59-94)."""
     m = world.arrays
     valid = np.asarray(m.lm_valid)
     pts = np.asarray(m.lm_pos)[valid]
+    act = np.zeros(len(valid), bool)
+    if active_ids is not None:
+        ids = np.asarray(active_ids)
+        ids = ids[(ids >= 0) & (ids < len(valid))]
+        act[ids] = True
+    act = act[valid]
     kf_poses = world.kf_poses_host[: world.n_keyframes]
     traj = (
         np.asarray(trajectory)[:, :3, 3]
         if trajectory is not None and len(trajectory)
         else np.zeros((0, 3))
     )
-    return pts, kf_poses, traj
+    return pts, act, kf_poses, traj
 
 
-def export_ply(path: str, world: map_state.WorldMap, trajectory: np.ndarray | None = None):
-    """Landmarks (white) + trajectory positions (red) as ASCII PLY."""
-    pts, _, traj = _collect(world, trajectory)
+def export_ply(
+    path: str,
+    world: map_state.WorldMap,
+    trajectory: np.ndarray | None = None,
+    active_ids: np.ndarray | None = None,
+):
+    """Landmarks (active green / inactive gray, the reference's activity
+    coloring, src/Visualization.cpp:59-94) + trajectory (red) as ASCII
+    PLY."""
+    pts, act, _, traj = _collect(world, trajectory, active_ids)
     n = len(pts) + len(traj)
     with open(path, "w") as f:
         f.write(
@@ -47,8 +68,9 @@ def export_ply(path: str, world: map_state.WorldMap, trajectory: np.ndarray | No
             "property uchar red\nproperty uchar green\nproperty uchar blue\n"
             "end_header\n"
         )
-        for p in pts:
-            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} 200 200 200\n")
+        for p, a in zip(pts, act):
+            col = "70 210 120" if a else "200 200 200"
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {col}\n")
         for p in traj:
             f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} 230 40 40\n")
 
@@ -88,15 +110,16 @@ function line(a,b,col,w){const pa=proj(a),pb=proj(b);ctx.strokeStyle=col;
   ctx.lineWidth=w||1;ctx.beginPath();ctx.moveTo(pa[0],pa[1]);ctx.lineTo(pb[0],pb[1]);ctx.stroke();}
 function draw(){
   ctx.fillStyle='#101014';ctx.fillRect(0,0,cv.width,cv.height);
-  ctx.fillStyle='#c8c8d0';
-  for(const p of DATA.points){const q=proj(p);ctx.fillRect(q[0]-1,q[1]-1,2,2);}
+  for(let i=0;i<DATA.points.length;i++){const q=proj(DATA.points[i]);
+    ctx.fillStyle=DATA.active[i]?'#49d17a':'#8a8a94';
+    ctx.fillRect(q[0]-1,q[1]-1,2,2);}
   for(let i=1;i<DATA.traj.length;i++) line(DATA.traj[i-1],DATA.traj[i],'#e62828',2);
   for(const f of DATA.frusta){ // 5 points: apex + 4 image-plane corners
     for(let i=1;i<=4;i++){line(f[0],f[i],'#3ba7ff',1);
       line(f[i],f[i%4+1],'#3ba7ff',1);}
   }
   document.getElementById('hud').textContent =
-    DATA.points.length+' landmarks | '+DATA.frusta.length+' keyframes | drag to orbit, wheel to zoom';
+    DATA.points.length+' landmarks ('+DATA.active.filter(Boolean).length+' active) | '+DATA.frusta.length+' keyframes | drag to orbit, wheel to zoom';
 }
 resize();
 </script></body></html>
@@ -109,12 +132,14 @@ def export_html(
     trajectory: np.ndarray | None = None,
     frustum_scale: float = 0.4,
     max_points: int = 20000,
+    active_ids: np.ndarray | None = None,
 ):
     """Self-contained interactive HTML viewer of the current map state."""
-    pts, kf_poses, traj = _collect(world, trajectory)
+    pts, act, kf_poses, traj = _collect(world, trajectory, active_ids)
     if len(pts) > max_points:
         sel = np.linspace(0, len(pts) - 1, max_points).astype(int)
         pts = pts[sel]
+        act = act[sel]
     frusta = []
     s = frustum_scale
     corners = np.array(
@@ -126,8 +151,43 @@ def export_html(
         frusta.append([apex.tolist()] + cs.tolist())
     data = {
         "points": np.round(pts, 3).tolist(),
+        "active": [int(a) for a in act],
         "traj": np.round(traj, 3).tolist(),
         "frusta": frusta,
     }
     with open(path, "w") as f:
         f.write(_HTML_TEMPLATE.replace("__DATA__", json.dumps(data)))
+
+
+class LiveMapWriter:
+    """Incremental map export: rewrite the HTML viewer every N inserted
+    keyframes (atomic tmp+rename, so a browser auto-refresh never sees a
+    torn file). The headless stand-in for the reference's live render
+    loop (src/Visualization.cpp:125-143) — open the file locally and
+    refresh, or serve the directory."""
+
+    def __init__(self, path: str, world: map_state.WorldMap, every_n_kf: int = 5):
+        self.path = path
+        self.world = world
+        self.every = max(int(every_n_kf), 1)
+        self._last_n = 0
+
+    def maybe_export(self, tracker=None):
+        n = self.world.n_keyframes
+        if n - self._last_n < self.every:
+            return False
+        self._last_n = n
+        import os
+
+        traj = None
+        active = None
+        if tracker is not None:
+            # cheap host-side recompose; no device sync
+            traj = np.stack(
+                [self.world.kf_poses_host[s] @ rel for s, rel in tracker.frame_records]
+            ) if tracker.frame_records else None
+            active = tracker.active_ids
+        tmp = self.path + ".tmp"
+        export_html(tmp, self.world, traj, active_ids=active)
+        os.replace(tmp, self.path)
+        return True
