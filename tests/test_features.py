@@ -221,3 +221,27 @@ def test_extract_windows_matches_direct_indexing():
                 np.testing.assert_array_equal(
                     out[b, i], imn[b, yy : yy + P, xx : xx + Pw]
                 )
+
+
+def test_packed_descriptor_roundtrip_and_matmul_parity():
+    """The map stores descriptors bit-packed (W, K, 8) uint32 (32x less
+    HBM than the +-1 int8 form); matchers unpack per block. pack/unpack
+    must be exact inverses in both orders, match ops/orb's packing
+    convention, and the unpacked MXU Hamming must equal the SWAR
+    popcount oracle on the packed form."""
+    rng = np.random.default_rng(11)
+    signed = (rng.integers(0, 2, (64, 256)) * 2 - 1).astype(np.int8)
+    packed = hamming.pack_signed(jnp.asarray(signed))
+    assert packed.shape == (64, 8) and packed.dtype == jnp.uint32
+    back = np.asarray(hamming.unpack_signed(packed))
+    np.testing.assert_array_equal(back, signed)
+    np.testing.assert_array_equal(hamming.unpack_signed_np(packed), signed)
+
+    other = (rng.integers(0, 2, (48, 256)) * 2 - 1).astype(np.int8)
+    d_mxu = np.asarray(
+        hamming.hamming_matrix(jnp.asarray(signed), jnp.asarray(other))
+    )
+    d_pop = np.asarray(
+        hamming.packed_hamming(packed, hamming.pack_signed(jnp.asarray(other)))
+    )
+    np.testing.assert_array_equal(d_mxu.astype(np.int32), d_pop)

@@ -6,10 +6,13 @@ tests cover the real implementation (models/pose_graph.py,
 models/loop_closure.py)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vslam_tpu.geometry import se3
 from vslam_tpu.models import map_state, pose_graph
+from vslam_tpu.ops import hamming
+from vslam_tpu.utils import synthetic
 
 
 def test_pose_graph_recovers_loop_drift():
@@ -140,7 +143,7 @@ def _split_map_world(n_kf=20, n_pts=400, seed=3):
         lm_valid=jnp.asarray(lm_valid),
         obs_uv=jnp.asarray(obs_uv),
         obs_lm=jnp.asarray(obs_lm.astype(np.int32)),
-        obs_desc=jnp.asarray(obs_desc),
+        obs_desc=jnp.asarray(hamming.pack_signed(obs_desc)),
         obs_valid=jnp.asarray(obs_valid),
     )
     pad = np.tile(np.eye(4, dtype=np.float32), (32, 1, 1))
@@ -169,6 +172,10 @@ def test_loop_closure_detects_and_merges():
     assert pre_err > 0.08  # the injected drift is real
 
     closer = loop_closure.LoopCloser(world, K, 0.12, min_gap=3)
+    # temporal consistency: the first detection only arms the candidate;
+    # the second consecutive agreeing keyframe applies the closure
+    assert closer.try_close(n - 2) is None
+    assert closer._last_cand is not None, "first detection did not fire"
     rc = closer.try_close(n - 1)
     assert rc is not None, "loop not detected"
     assert rc["old_kf"] < n // 2, rc  # retrieved from leg A
@@ -189,3 +196,84 @@ def test_loop_closure_detects_and_merges():
     np.testing.assert_array_equal(
         np.asarray(world.arrays.obs_lm)[:n], tbl.astype(np.int32)
     )
+
+
+@pytest.mark.slow
+def test_live_circuit_loop_closure(tmp_path):
+    """Loop closure END-TO-END through the LIVE pipeline (VERDICT r3
+    next-round #1): the tracker drives a full synthetic circuit
+    (make_loop_scene: camera circles inside a cylindrical wall, returning
+    to its start pose), accumulating real odometry drift; detection must
+    fire at the actual revisit — validating MIN_GAP / min_votes /
+    verification thresholds against live tracker output instead of
+    hand-built tables — the pose graph + merge must reduce the drifted
+    pose error, and a follow-up global BA must keep the trajectory tight.
+    (The reference's loop-closure state is checked by both threads but
+    never driven — include/Map.h:122-127.)"""
+    import pathlib
+
+    from vslam_tpu.models import system as system_mod
+    from vslam_tpu.utils import trajectory
+    from vslam_tpu.utils.config import ConfigFile
+
+    W, H = 512, 384
+    n = 325
+    scene = synthetic.make_loop_scene(n_frames=n, width=W, height=H)
+    cfg = pathlib.Path(tmp_path) / "c.yaml"
+    cfg.write_text(f"""rectified: true
+slamMode: 1
+dataset: "KITTI"
+imagesPath: "/nonexistent"
+fileExtension: ".png"
+Camera: {{width: {W}, height: {H}, fps: 10.0, bl: 0.12}}
+Camera_l: {{fx: 460.0, fy: 460.0, cx: {W/2}, cy: {H/2}}}
+Camera_r: {{fx: 460.0, fy: 460.0, cx: {W/2}, cy: {H/2}}}
+FE: {{nFeatures: 1024, nLevels: 8, imScale: 1.2, edgeThreshold: 19, maxFastThreshold: 20, minFastThreshold: 7}}
+""")
+    sys_ = system_mod.VSlamSystem(
+        ConfigFile(str(cfg)), async_ba=True, lm_capacity=1 << 15,
+        kf_capacity=256, loop_closure=True,
+    )
+    events = []
+    orig_close = sys_.loop_closer.close
+
+    def close_spy(kf_slot, old_kf, T_loop):
+        r = orig_close(kf_slot, old_kf, T_loop)
+        if r is not None:
+            events.append(dict(r))
+        return r
+
+    sys_.loop_closer.close = close_spy
+    for f in range(n):
+        sys_.track_stereo(scene.render(f), scene.render(f, right=True))
+    sys_.exit()
+
+    # 1. detection fired through the live pipeline, at the actual revisit:
+    #    the new keyframe sits in the second lap, the retrieved old
+    #    keyframe in the first quarter-lap
+    assert sys_.loop_closer.closures >= 1, "no closure fired on a full circuit"
+    w = sys_.world
+    ev = events[0]
+    lap = int(n / 1.1)
+    new_frame = int(w.kf_frame_idx[ev["kf_slot"]])
+    old_frame = int(w.kf_frame_idx[ev["old_kf"]])
+    assert new_frame > lap - 40, (new_frame, lap)
+    assert old_frame < lap // 3, (old_frame, lap)
+    assert ev["n_merged"] > 0  # duplicate landmarks actually merged
+
+    # 2. the correction moved the revisit keyframe TOWARD ground truth
+    gt_t = scene.poses_c2w[new_frame][:3, 3]
+    pre = np.linalg.norm(ev["old_pose"][:3, 3] - gt_t)
+    post = np.linalg.norm(ev["new_pose"][:3, 3] - gt_t)
+    assert post < pre, (pre, post)
+
+    # 3. final trajectory is tight and a follow-up global BA stays tight
+    poses = sys_.trajectory()
+    ate = trajectory.ate_rmse(poses, scene.poses_c2w[: len(poses)], align=False)
+    assert ate < 0.08, ate
+    assert sys_.global_ba() is not None
+    poses2 = sys_.trajectory()
+    ate2 = trajectory.ate_rmse(poses2, scene.poses_c2w[: len(poses2)], align=False)
+    assert ate2 < max(1.1 * ate, 0.05), (ate, ate2)
+    print(f"\n[live-loop] closures={sys_.loop_closer.closures} "
+          f"ate={ate:.4f} -> {ate2:.4f} (pre/post closure err {pre:.3f}/{post:.3f})")

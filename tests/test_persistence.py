@@ -71,8 +71,8 @@ def test_viz_exports(tmp_path, tracked_world):
     traj = trk.trajectory()
     ply = tmp_path / "map.ply"
     html = tmp_path / "map.html"
-    viz.export_ply(str(ply), world, traj)
-    viz.export_html(str(html), world, traj)
+    viz.export_ply(str(ply), world, traj, active_ids=trk.active_ids)
+    viz.export_html(str(html), world, traj, active_ids=trk.active_ids)
     txt = ply.read_text()
     assert txt.startswith("ply")
     n_expect = int(np.asarray(world.arrays.lm_valid).sum()) + len(traj)
@@ -86,3 +86,23 @@ def test_viz_exports(tmp_path, tracked_world):
     end = page.index(";\n", start)
     data = json.loads(page[start:end])
     assert len(data["frusta"]) == world.n_keyframes
+    # activity coloring (reference Visualization.cpp:59-94): the
+    # tracker's live set marks landmarks active; both classes present
+    assert len(data["active"]) == len(data["points"])
+    n_act = sum(data["active"])
+    assert 0 < n_act <= len(data["points"])
+    assert "70 210 120" in txt  # active landmarks reach the PLY too
+
+
+def test_live_map_writer(tmp_path, tracked_world):
+    """LiveMapWriter rewrites the viewer only when enough NEW keyframes
+    accumulated, atomically (no .tmp left behind)."""
+    _, _, world, trk = tracked_world
+    path = tmp_path / "live.html"
+    w = viz.LiveMapWriter(str(path), world, every_n_kf=1)
+    assert w.maybe_export(trk) is True
+    assert path.exists() and not (tmp_path / "live.html.tmp").exists()
+    mtime = path.stat().st_mtime_ns
+    # no new keyframes -> no rewrite
+    assert w.maybe_export(trk) is False
+    assert path.stat().st_mtime_ns == mtime

@@ -229,30 +229,64 @@ def test_stereo_imu_system_tracks(tmp_path, scene):
     assert ate < 0.08, ate
 
 
-def test_mono_imu_system(tmp_path, scene):
+@pytest.fixture(scope="module")
+def mono_scene():
+    """Mono-friendly world: LATERAL strafing motion (every landmark gets
+    real parallax; forward motion gives near-zero parallax at the image
+    center and outruns its own near-field map within frames) and the
+    alias-resistant distinct texture (wide mono search radii flood with
+    false candidates on the classic texture's clustered descriptors)."""
+    return synthetic.make_scene(
+        n_frames=30, n_points=500, width=W, height=H, fps=10.0, seed=7,
+        texture="distinct", motion="lateral",
+    )
+
+
+def test_mono_imu_system(tmp_path, mono_scene):
     """Monocular-inertial through the facade (reference TrackMonoIMU,
     src/System.cpp:82-85): bootstrap KFs, the init-triangulation handoff
     to the mapper (system.py dispatches find_new_points and merges the new
-    landmarks into the tracked set), then steady-state tracking."""
-    n = 12
+    landmarks into the tracked set), then steady-state tracking.
+
+    Gates on REAL visual tracking, not dead-reckoning: the exact
+    synthetic IMU can hold ATE alone, so the old ATE-only assert passed
+    while steady-state matching returned zero inliers (VERDICT r3 weak
+    #4 "mono is second-class" — it was in fact broken). Now: sustained
+    inliers, per-KF landmark growth, AND a tight ATE."""
+    scene = mono_scene
+    n = 30
     conf = ConfigFile(_write_config(tmp_path, slam_mode=2))
     sys_ = system.VSlamSystem(
         conf, lm_capacity=8192, kf_capacity=64, tracker_params=_params()
     )
     assert isinstance(sys_.tracker, tracker.MonoTracker)
+    # reference mono re-acquisition parity (src/FeatureTracker.cpp:1400,
+    # src/FeatureMatcher.cpp:442-447): schedule tops out at 1200 px with
+    # +50/+0.1 relaxed thresholds
+    assert float(np.asarray(sys_.tracker._radii)[-1]) == 1200.0
+    assert sys_.tracker._desc_thr == _params().desc_thr + 50.0
+    assert abs(sys_.tracker._ratio - min(_params().ratio + 0.1, 0.95)) < 1e-6
     sys_._gravity_set = True  # synthetic body frame; see stereo-IMU test
     sys_.tracker.set_gravity(synthetic.GRAVITY_W.astype(np.float32))
     sys_.tracker.velocity = scene.velocities[0].astype(np.float32)
     bins = datasets.bin_imu_per_frame(scene.imu, scene.times)
+    inliers = []
     for f in range(n):
         sys_.track_mono_imu(scene.render(f), imu=bins[f])
+        s_ = sys_.tracker.last_stats
+        if s_:
+            inliers.append(s_.get("n_inliers", 0))
     sys_.exit()
     assert sys_.tracker.initialized
     assert not sys_.tracker.needs_init_triangulation
-    assert sys_.world.n_landmarks > 20, "mono init triangulated too few landmarks"
+    assert sys_.world.n_landmarks > 200, "mono mapping did not grow the map"
+    # steady state genuinely TRACKS: second half of the run averages a
+    # healthy inlier count and never goes lost
+    tail = inliers[len(inliers) // 2 :]
+    assert min(tail) > 20 and float(np.mean(tail)) > 40, inliers
     poses = sys_.trajectory()
     ate = trajectory.ate_rmse(poses, scene.poses_c2w[:n], align=False)
-    assert ate < 0.15, ate
+    assert ate < 0.05, ate
 
 
 def test_sharded_facade_matches_unsharded(tmp_path, scene):

@@ -78,15 +78,34 @@ class SyntheticScene:
 
     # physical FULL width of a patch in meters. Each patch is a textured 3D
     # plane with FIXED world orientation (facing -z, the camera's initial
-    # viewing direction), rendered by exact per-pixel ray-plane
-    # intersection (a homography). Every texture element — hence every FAST
-    # corner the extractor finds on it — is a static 3D point observed
-    # consistently (subpixel) across all views, like a real rigid scene.
-    # (Earlier image-space splatting re-aligned the texture to each view's
-    # pixel grid, which made off-center corners MOVE in 3D as the camera
-    # yawed, and integer-rounded centers injected +-0.5 px per-frame jitter
+    # viewing direction, unless patch_R gives a per-patch frame), rendered
+    # by exact per-pixel ray-plane intersection (a homography). Every
+    # texture element — hence every FAST corner the extractor finds on it —
+    # is a static 3D point observed consistently (subpixel) across all
+    # views, like a real rigid scene. (Earlier image-space splatting
+    # re-aligned the texture to each view's pixel grid, which made
+    # off-center corners MOVE in 3D as the camera yawed, and
+    # integer-rounded centers injected +-0.5 px per-frame jitter
     # = 0.2-1.8 m of stereo depth noise at z=5-10 m.)
     patch_phys: float = 0.35
+
+    # background gray level. The straight-line scenes keep the legacy
+    # dark background (the strong patch-vs-background edges give the
+    # dense generic corners their tracking tests were gated on); circuit
+    # scenes use a mid-gray background matched to the texture mean —
+    # otherwise every patch boundary/coarse-octave keypoint is the same
+    # "bright square on dark" signature and global descriptor retrieval
+    # aliases catastrophically (measured: 90% of keys match below the
+    # retrieval threshold in a view with ZERO overlap; mid-gray drops
+    # that to ~5%).
+    background: float = 15.0
+
+    # optional per-patch orientation: (P, 3, 3) world frames whose columns
+    # are (e_x, e_y, normal). None = every patch faces -z (the straight-
+    # line scenes). Circuit scenes (make_loop_scene) use this to build a
+    # cylindrical wall of inward-facing patches, so a camera driving a
+    # full loop always has well-conditioned texture in view.
+    patch_R: np.ndarray | None = None
 
     # --- hard mode (VERDICT round-1 #6: the bench scene was "easier than
     # the target"): photometric sensor noise, exposure drift, and STATIC
@@ -150,24 +169,43 @@ class SyntheticScene:
         cx, cy = self.K[0, 2], self.K[1, 2]
         u = fx * pc[:, 0] / np.maximum(z, 1e-6) + cx
         v = fy * pc[:, 1] / np.maximum(z, 1e-6) + cy
-        img = np.full((self.height, self.width), 15.0, dtype=np.float32)
+        img = np.full((self.height, self.width), self.background, dtype=np.float32)
         S = self.patches.shape[1]
         W, H = self.width, self.height
         half = 0.5 * self.patch_phys
-        # patch plane basis, fixed in world: e_x = +x, e_y = +y, normal -z
+        # patch plane basis, fixed in world: per-patch (e_x, e_y, n) from
+        # patch_R, defaulting to e_x = +x, e_y = +y, normal -z
         order = np.argsort(-z)  # far first
         for i in order:
             if z[i] < 0.3:
                 continue
-            # conservative bounding box around the projection
-            side = fx * self.patch_phys / z[i]
-            if side < 5:
+            c_w = self.points_w[i]
+            if self.patch_R is not None:
+                e_x, e_y, nrm = self.patch_R[i].T
+            else:
+                e_x = np.array([1.0, 0.0, 0.0])
+                e_y = np.array([0.0, 1.0, 0.0])
+                nrm = np.array([0.0, 0.0, -1.0])
+            # backface / grazing cull: camera must be on the normal side
+            view = c_w - o_w
+            if np.dot(view, nrm) > -0.15 * np.linalg.norm(view):
                 continue
-            hpx = int(side * 0.75) + 2
-            x0 = max(int(np.floor(u[i])) - hpx, 0)
-            x1 = min(int(np.floor(u[i])) + hpx + 1, W)
-            y0 = max(int(np.floor(v[i])) - hpx, 0)
-            y1 = min(int(np.floor(v[i])) + hpx + 1, H)
+            # exact bounding box: project the 4 physical corners
+            corners = c_w + half * (
+                np.array([[1, 1], [1, -1], [-1, 1], [-1, -1]], np.float32)
+                @ np.stack([e_x, e_y])
+            )
+            cc = (T_cw[:3, :3] @ corners.T).T + T_cw[:3, 3]
+            if (cc[:, 2] < 0.25).any():
+                continue
+            uc = fx * cc[:, 0] / cc[:, 2] + cx
+            vc = fy * cc[:, 1] / cc[:, 2] + cy
+            if uc.max() - uc.min() < 5 and vc.max() - vc.min() < 5:
+                continue  # too small to carry texture
+            x0 = max(int(np.floor(uc.min())) - 1, 0)
+            x1 = min(int(np.ceil(uc.max())) + 2, W)
+            y0 = max(int(np.floor(vc.min())) - 1, 0)
+            y1 = min(int(np.ceil(vc.max())) + 2, H)
             if x0 >= x1 or y0 >= y1:
                 continue
             xs = np.arange(x0, x1, dtype=np.float32)
@@ -178,13 +216,13 @@ class SyntheticScene:
                 [(gx - cx) / fx, (gy - cy) / fy, np.ones_like(gx)], axis=-1
             )
             d_w = d_c @ R_wc.T  # (h, w, 3)
-            c_w = self.points_w[i]
-            # plane: n = (0,0,-1); n . (o + t d - c) = 0 -> t = (c_z - o_z) / d_z
-            dz = d_w[..., 2]
-            t = (c_w[2] - o_w[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+            # plane: n . (o + t d - c) = 0 -> t = n.(c - o) / n.d
+            dn = d_w @ nrm
+            t = np.dot(nrm, c_w - o_w) / np.where(np.abs(dn) < 1e-9, 1e-9, dn)
             p_w = o_w[None, None, :] + t[..., None] * d_w
-            lx = (p_w[..., 0] - c_w[0]) / half  # in-plane coords in [-1, 1]
-            ly = (p_w[..., 1] - c_w[1]) / half
+            rel = p_w - c_w
+            lx = (rel @ e_x) / half  # in-plane coords in [-1, 1]
+            ly = (rel @ e_y) / half
             hit = (t > 0.3) & (np.abs(lx) <= 1.0) & (np.abs(ly) <= 1.0)
             if not hit.any():
                 continue
@@ -225,55 +263,35 @@ class SyntheticScene:
         return np.stack([u, v], axis=-1), valid, z
 
 
-def make_scene(
-    n_frames: int = 30,
-    n_points: int = 400,
-    width: int = 640,
-    height: int = 480,
-    fps: float = 10.0,
-    imu_hz: float = 200.0,
-    seed: int = 0,
-    depth_range: tuple | None = None,
-    noise_std: float = 0.0,
-    gain_drift: float = 0.0,
-    n_occluders: int = 0,
-) -> SyntheticScene:
-    rng = np.random.default_rng(seed)
-    dt = 1.0 / fps
-    ts, poses, pos_fn, rotvec_fn = _smooth_trajectory(n_frames, dt)
+def _make_patch_coarse(rng: np.random.Generator, size: int = 21) -> np.ndarray:
+    """High-contrast COARSE blob texture (half-resolution noise,
+    upsampled, thresholded at the median, then one box blur): every
+    corner's BRIEF signature is determined by an independent random blob
+    layout, so descriptors are near-iid ACROSS patches — the property
+    global retrieval (reloc / loop closure) needs from a synthetic world.
+    (_make_patch's smooth fine noise + off-center core reads as one
+    shared "texture family" after orientation normalization: inter-patch
+    Hamming clusters far below the matching threshold.) The final blur
+    makes the hard blob edges resample smoothly under the renderer's
+    bilinear warp — measured temporal match stability 0.43 -> 0.54 at
+    the retrieval threshold with no change in the inter-patch alias rate
+    (0.056)."""
+    h = (size + 2) // 2 + 1
+    n = rng.uniform(0.0, 1.0, size=(h, h))
+    big = np.kron(n, np.ones((2, 2)))[: size + 2, : size + 2]
+    pad = size + 2 - big.shape[0]
+    if pad > 0:
+        big = np.pad(big, ((0, pad), (0, pad)), mode="edge")
+    p = (big > np.median(big)).astype(np.float32)
+    q = sum(
+        p[dy : dy + size, dx : dx + size] for dy in range(3) for dx in range(3)
+    ) / 9.0
+    return (q * 215.0 + 25.0).astype(np.float32)
 
-    K = np.array([[460.0, 0, width / 2.0], [0, 460.0, height / 2.0], [0, 0, 1.0]])
-    baseline = 0.12
 
-    # landmarks in a slab in front of the whole trajectory
-    total_len = 1.2 * n_frames * dt
-    zmin, zmax = depth_range if depth_range else (1.5, total_len + 14.0)
-    pts = np.stack(
-        [
-            rng.uniform(-6.0, 6.0, n_points),
-            rng.uniform(-4.0, 4.0, n_points),
-            rng.uniform(zmin, zmax, n_points),
-        ],
-        axis=-1,
-    )
-    patches = np.stack([_make_patch(rng) for _ in range(n_points)])
-
-    # static world-anchored occluder planes, staggered along (and slightly
-    # off) the camera path so forward motion sweeps them across the view
-    occluders_w = None
-    if n_occluders:
-        occluders_w = np.stack(
-            [
-                np.array([
-                    (-1.0) ** k * (0.55 + 0.2 * k),
-                    0.25 * np.sin(1.7 * k),
-                    2.5 + (total_len + 4.0) * k / n_occluders,
-                ])
-                for k in range(n_occluders)
-            ]
-        )
-
-    # exact IMU: finite-difference the analytic trajectory at high rate
+def _imu_from_analytic(n_frames, dt, imu_hz, pos_fn, rotvec_fn):
+    """Exact IMU samples: finite-difference the analytic trajectory at
+    high rate. Returns (M, 7) [t, gyro_xyz, accel_xyz] body-frame rows."""
     m = int(n_frames * dt * imu_hz)
     t_imu = (np.arange(m) + 1) * (1.0 / imu_hz)
     eps = 1e-4
@@ -293,8 +311,131 @@ def make_scene(
     ) / eps**2
     spec_force_w = acc_w - GRAVITY_W
     accel = np.einsum("nji,nj->ni", R_t, spec_force_w)  # body frame: R^T f_w
-    imu = np.concatenate([t_imu[:, None], gyro, accel], axis=1)
+    return np.concatenate([t_imu[:, None], gyro, accel], axis=1)
 
+
+def make_scene(
+    n_frames: int = 30,
+    n_points: int = 400,
+    width: int = 640,
+    height: int = 480,
+    fps: float = 10.0,
+    imu_hz: float = 200.0,
+    seed: int = 0,
+    depth_range: tuple | None = None,
+    noise_std: float = 0.0,
+    gain_drift: float = 0.0,
+    n_occluders: int = 0,
+    lowtex_span: tuple | None = None,
+    texture: str = "classic",
+    motion: str = "forward",
+) -> SyntheticScene:
+    """`lowtex_span=(z0, z1, keep)`: a LOW-TEXTURE stretch — inside the
+    world-z band [z0, z1] only a `keep` fraction of landmarks survive, so
+    the camera drives through a feature desert (blank corridor wall) for
+    (z1-z0)/speed seconds. Exercises the failure gate, outlier aging and
+    re-acquisition on the far side — robustness the reference lacks
+    entirely (SURVEY.md §5 failure-detection row).
+
+    `motion="forward"` is the original driving trajectory (+z dominant).
+    `motion="lateral"` strafes sideways with slow forward drift and a
+    small yaw oscillation — the EuRoC-drone-like regime MONOCULAR
+    initialization needs: lateral baseline gives every landmark real
+    parallax, and the wall of points stays in view instead of being
+    outrun (forward motion gives near-zero parallax at the image center
+    and flies past every close landmark within a few frames).
+
+    `texture="classic"` keeps the original smooth-noise patches on a dark
+    background (most tracking-test gates were tuned on it).
+    `texture="distinct"` uses the coarse iid-blob patches on a mid-gray
+    background (_make_patch_coarse): inter-patch BRIEF descriptors are
+    near-iid, which global retrieval AND wide-search matching need —
+    measured on "classic", 90% of keys Hamming-match below the retrieval
+    threshold in a view with ZERO overlap, which floods ratio tests and
+    wide-radius mono matching with aliases."""
+    rng = np.random.default_rng(seed)
+    dt = 1.0 / fps
+    if motion == "lateral":
+        speed_x, speed_z = 0.6, 0.12
+
+        def pos_fn(t):
+            t = np.asarray(t, np.float64)
+            return np.stack(
+                [speed_x * t, 0.12 * np.sin(0.4 * t), speed_z * t], axis=-1
+            )
+
+        def rotvec_fn(t):
+            t = np.asarray(t, np.float64)
+            return np.stack(
+                [0.02 * np.sin(0.35 * t), 0.06 * np.sin(0.25 * t),
+                 0.015 * np.sin(0.5 * t)], axis=-1,
+            )
+
+        ts = np.arange(n_frames) * dt
+        import jax.numpy as jnp
+
+        R = np.asarray(
+            se3.so3_expmap(jnp.asarray(rotvec_fn(ts).reshape(-1, 3), jnp.float32))
+        )
+        poses = np.tile(np.eye(4), (n_frames, 1, 1))
+        poses[:, :3, :3] = R
+        poses[:, :3, 3] = pos_fn(ts)
+    else:
+        ts, poses, pos_fn, rotvec_fn = _smooth_trajectory(n_frames, dt)
+
+    K = np.array([[460.0, 0, width / 2.0], [0, 460.0, height / 2.0], [0, 0, 1.0]])
+    baseline = 0.12
+
+    if motion == "lateral":
+        # a wall of landmarks spanning the lateral sweep
+        span = 0.6 * n_frames * dt
+        zmin, zmax = depth_range if depth_range else (3.0, 9.0)
+        pts = np.stack(
+            [
+                rng.uniform(-3.0, span + 3.0, n_points),
+                rng.uniform(-2.5, 2.5, n_points),
+                rng.uniform(zmin, zmax, n_points),
+            ],
+            axis=-1,
+        )
+    else:
+        # landmarks in a slab in front of the whole trajectory
+        total_len = 1.2 * n_frames * dt
+        zmin, zmax = depth_range if depth_range else (1.5, total_len + 14.0)
+        pts = np.stack(
+            [
+                rng.uniform(-6.0, 6.0, n_points),
+                rng.uniform(-4.0, 4.0, n_points),
+                rng.uniform(zmin, zmax, n_points),
+            ],
+            axis=-1,
+        )
+    if lowtex_span is not None:
+        z0, z1, keep = lowtex_span
+        inside = (pts[:, 2] >= z0) & (pts[:, 2] <= z1)
+        drop = inside & (rng.uniform(0.0, 1.0, n_points) > keep)
+        pts = pts[~drop]
+        n_points = len(pts)
+    patch_fn = _make_patch_coarse if texture == "distinct" else _make_patch
+    patches = np.stack([patch_fn(rng) for _ in range(n_points)])
+
+    # static world-anchored occluder planes, staggered along (and slightly
+    # off) the camera path so forward motion sweeps them across the view
+    occluders_w = None
+    if n_occluders:
+        occluders_w = np.stack(
+            [
+                np.array([
+                    (-1.0) ** k * (0.55 + 0.2 * k),
+                    0.25 * np.sin(1.7 * k),
+                    2.5 + (total_len + 4.0) * k / n_occluders,
+                ])
+                for k in range(n_occluders)
+            ]
+        )
+
+    imu = _imu_from_analytic(n_frames, dt, imu_hz, pos_fn, rotvec_fn)
+    eps = 1e-4
     vel = (pos_fn(ts + eps) - pos_fn(ts - eps)) / (2 * eps)
 
     return SyntheticScene(
@@ -309,7 +450,112 @@ def make_scene(
         velocities=vel,
         imu=imu,
         imu_hz=imu_hz,
+        background=120.0 if texture == "distinct" else 15.0,
         noise_std=noise_std,
         gain_drift=gain_drift,
         occluders_w=occluders_w,
+    )
+
+
+def make_loop_scene(
+    n_frames: int = 325,
+    n_points: int = 700,
+    width: int = 512,
+    height: int = 384,
+    fps: float = 10.0,
+    imu_hz: float = 200.0,
+    seed: int = 0,
+    radius: float = 6.0,
+    wall_radius: float = 10.0,
+    loops: float = 1.1,
+    noise_std: float = 0.0,
+    gain_drift: float = 0.0,
+) -> SyntheticScene:
+    """A CLOSED-CIRCUIT scene for end-to-end loop-closure validation: the
+    camera drives `loops` revolutions of a circle (radius m) inside a
+    cylindrical wall of inward-facing textured patches, returning to its
+    start pose with the same heading — the canonical revisit geometry.
+    Pure yaw accumulates heading drift that compounds into position error
+    over the lap, which a verified loop edge + pose graph must remove
+    (the reference's loop-closure state is vestigial, Map.h:122-127 —
+    this scene validates the real detector against live tracker output).
+
+    Geometry: camera at C + radius*(-cos wt, y_wobble, sin wt) heading
+    tangentially (yaw = wt); wall patches at angle phi on radii around
+    `wall_radius` with normals pointing at C, so the visible arc
+    (phi - yaw in ~[30, 90] deg) is always seen at benign (<40 deg)
+    incidence and 5-11 m depth, uniformly over the whole lap."""
+    rng = np.random.default_rng(seed)
+    dt = 1.0 / fps
+    omega = 2.0 * np.pi * loops / (n_frames * dt)
+    C = np.array([radius, 0.0, 0.0])
+
+    def pos(t):
+        t = np.asarray(t, np.float64)
+        th = omega * t
+        return np.stack(
+            [
+                C[0] - radius * np.cos(th),
+                0.15 * np.sin(0.4 * t),
+                radius * np.sin(th),
+            ],
+            axis=-1,
+        )
+
+    def rotvec(t):
+        t = np.asarray(t, np.float64)
+        return np.stack(
+            [np.zeros_like(t), omega * t, np.zeros_like(t)], axis=-1
+        )
+
+    ts = np.arange(n_frames) * dt
+    import jax.numpy as jnp
+
+    R = np.asarray(
+        se3.so3_expmap(jnp.asarray(rotvec(ts).reshape(-1, 3), jnp.float32))
+    )
+    poses = np.tile(np.eye(4), (n_frames, 1, 1))
+    poses[:, :3, :3] = R
+    poses[:, :3, 3] = pos(ts)
+
+    K = np.array(
+        [[460.0, 0, width / 2.0], [0, 460.0, height / 2.0], [0, 0, 1.0]]
+    )
+    baseline = 0.12
+
+    # cylindrical wall: angles uniform over the lap, jittered radius/height
+    phi = rng.uniform(0.0, 2.0 * np.pi, n_points)
+    r_k = rng.uniform(0.85 * wall_radius, 1.15 * wall_radius, n_points)
+    h_k = rng.uniform(-2.4, 2.4, n_points)
+    pts = np.stack(
+        [C[0] - r_k * np.cos(phi), h_k, r_k * np.sin(phi)], axis=-1
+    )
+    # inward patch frames: normal points at the circuit axis
+    nrm = np.stack([np.cos(phi), np.zeros_like(phi), -np.sin(phi)], axis=-1)
+    e_y = np.tile(np.array([0.0, 1.0, 0.0]), (n_points, 1))
+    e_x = np.stack([-np.sin(phi), np.zeros_like(phi), -np.cos(phi)], axis=-1)
+    patch_R = np.stack([e_x, e_y, nrm], axis=-1).astype(np.float64)
+    patches = np.stack([_make_patch_coarse(rng) for _ in range(n_points)])
+
+    imu = _imu_from_analytic(n_frames, dt, imu_hz, pos, rotvec)
+    eps = 1e-4
+    vel = (pos(ts + eps) - pos(ts - eps)) / (2 * eps)
+
+    return SyntheticScene(
+        width=width,
+        height=height,
+        K=K,
+        baseline=baseline,
+        points_w=pts,
+        patches=patches,
+        times=ts,
+        poses_c2w=poses,
+        velocities=vel,
+        imu=imu,
+        imu_hz=imu_hz,
+        patch_R=patch_R,
+        patch_phys=0.5,
+        background=120.0,
+        noise_std=noise_std,
+        gain_drift=gain_drift,
     )
