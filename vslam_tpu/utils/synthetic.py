@@ -329,6 +329,9 @@ def make_scene(
     lowtex_span: tuple | None = None,
     texture: str = "classic",
     motion: str = "forward",
+    ramp_tau: float | None = None,
+    speed: float = 1.2,
+    yaw_rate: float = 0.05,
 ) -> SyntheticScene:
     """`lowtex_span=(z0, z1, keep)`: a LOW-TEXTURE stretch — inside the
     world-z band [z0, z1] only a `keep` fraction of landmarks survive, so
@@ -336,6 +339,14 @@ def make_scene(
     (z1-z0)/speed seconds. Exercises the failure gate, outlier aging and
     re-acquisition on the far side — robustness the reference lacks
     entirely (SURVEY.md §5 failure-detection row).
+
+    `ramp_tau` (seconds): start from REST with an analytic velocity
+    ramp — the trajectory is time-warped by s(t) = t - tau + tau e^{-t/tau}
+    (s'(0)=0, s'(inf)=1), so every velocity component including angular
+    rate begins at zero, exactly like a real capture (the EuRoC MAV sits
+    on the ground before takeoff). Without it a tracker initialized at
+    v=0 fights an instant full-speed IMU mismatch it can never have on
+    real data.
 
     `motion="forward"` is the original driving trajectory (+z dominant).
     `motion="lateral"` strafes sideways with slow forward drift and a
@@ -381,7 +392,38 @@ def make_scene(
         poses[:, :3, :3] = R
         poses[:, :3, 3] = pos_fn(ts)
     else:
-        ts, poses, pos_fn, rotvec_fn = _smooth_trajectory(n_frames, dt)
+        # yaw_rate matters on LONG sequences: the forward scene's patches
+        # face -z, so total yaw must stay well under ~45 deg or the wall
+        # turns edge-on and texture degenerates (a 1000-frame run at the
+        # old fixed 0.05 rad/s accumulated 143 deg and drift x20'd)
+        ts, poses, pos_fn, rotvec_fn = _smooth_trajectory(
+            n_frames, dt, speed=speed, yaw_rate=yaw_rate
+        )
+
+    if ramp_tau is not None:
+        tau = float(ramp_tau)
+        base_pos, base_rot = pos_fn, rotvec_fn
+
+        def _warp(t):
+            t = np.asarray(t, np.float64)
+            return t - tau + tau * np.exp(-np.maximum(t, 0.0) / tau)
+
+        def pos_fn(t):
+            return base_pos(_warp(t))
+
+        def rotvec_fn(t):
+            return base_rot(_warp(t))
+
+        import jax.numpy as jnp
+
+        R = np.asarray(
+            se3.so3_expmap(
+                jnp.asarray(rotvec_fn(ts).reshape(-1, 3), jnp.float32)
+            )
+        )
+        poses = np.tile(np.eye(4), (n_frames, 1, 1))
+        poses[:, :3, :3] = R
+        poses[:, :3, 3] = pos_fn(ts)
 
     K = np.array([[460.0, 0, width / 2.0], [0, 460.0, height / 2.0], [0, 0, 1.0]])
     baseline = 0.12
