@@ -256,16 +256,25 @@ def test_mono_imu_system(tmp_path, mono_scene):
     scene = mono_scene
     n = 30
     conf = ConfigFile(_write_config(tmp_path, slam_mode=2))
+    # mono needs a deeper feature budget than the 512 the stereo tests
+    # share: at 512 the per-frame top-k corner selection flickers on this
+    # texture (~45% redetection), landmark re-observation starves, and
+    # steady state sits on a knife edge (A/B'd: 512 decays 90->0
+    # inliers by frame 28; 1024 holds 80-100 indefinitely)
+    params = tracker.TrackerParams(
+        n_features=1024, n_levels=4, active_size=2048, spawn_per_kf=256,
+        kf_min_stereo=60,
+    )
     sys_ = system.VSlamSystem(
-        conf, lm_capacity=8192, kf_capacity=64, tracker_params=_params()
+        conf, lm_capacity=8192, kf_capacity=64, tracker_params=params
     )
     assert isinstance(sys_.tracker, tracker.MonoTracker)
     # reference mono re-acquisition parity (src/FeatureTracker.cpp:1400,
     # src/FeatureMatcher.cpp:442-447): schedule tops out at 1200 px with
     # +50/+0.1 relaxed thresholds
     assert float(np.asarray(sys_.tracker._radii)[-1]) == 1200.0
-    assert sys_.tracker._desc_thr == _params().desc_thr + 50.0
-    assert abs(sys_.tracker._ratio - min(_params().ratio + 0.1, 0.95)) < 1e-6
+    assert sys_.tracker._desc_thr == params.desc_thr + 50.0
+    assert abs(sys_.tracker._ratio - min(params.ratio + 0.1, 0.95)) < 1e-6
     sys_._gravity_set = True  # synthetic body frame; see stereo-IMU test
     sys_.tracker.set_gravity(synthetic.GRAVITY_W.astype(np.float32))
     sys_.tracker.velocity = scene.velocities[0].astype(np.float32)

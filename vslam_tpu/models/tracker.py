@@ -1032,18 +1032,27 @@ class StereoTracker:
         keep = cur[alive]
         keep_age = cur_age[alive]
         merged = np.unique(np.concatenate([keep, new_ids[new_ids >= 0]]))
-        A = self.params.active_size
-        if len(merged) > A:
-            merged = merged[-A:]  # prefer newest ids
-        out = np.full(A, -1, np.int64)
-        out[: len(merged)] = merged
-        # carry ages over to the new layout (new ids start at 0)
-        new_age = np.zeros(A, np.int64)
+        # ages aligned to merged (new ids start at 0)
+        m_age = np.zeros(len(merged), np.int64)
         if len(keep):
             order = np.argsort(keep)
             pos = np.searchsorted(merged, keep[order])
             inside = (pos < len(merged)) & (merged[np.clip(pos, 0, len(merged) - 1)] == keep[order])
-            new_age[pos[inside]] = keep_age[order][inside]
+            m_age[pos[inside]] = keep_age[order][inside]
+        A = self.params.active_size
+        if len(merged) > A:
+            # evict by STALENESS, newest-id tiebreak: keep currently-
+            # tracked landmarks (miss-age 0) over stale ones; a plain
+            # newest-id policy evicted proven tracked landmarks for
+            # fresh unproven spawns as soon as the map outgrew the
+            # active size
+            sel = np.sort(np.lexsort((-merged, m_age))[:A])
+            merged = merged[sel]
+            m_age = m_age[sel]
+        out = np.full(A, -1, np.int64)
+        out[: len(merged)] = merged
+        new_age = np.zeros(A, np.int64)
+        new_age[: len(merged)] = m_age
         self.active_ids = out
         self.miss_age = new_age
         # splice the refreshed active arrays + ages into the next dispatch
@@ -1491,12 +1500,6 @@ class StereoTracker:
                 "layout": layout if layout is not None else self.active_ids,
                 "ages": ages if ages is not None else self.miss_age,
                 "t0": time.perf_counter() - t0,  # phase-A elapsed
-                # completion waits TWO processed frames (like the track
-                # blob's pipeline-depth-2 aging): after one frame the
-                # device may still be running the next frame's program
-                # ahead of the copy, and the fetch blocks ~a full tunnel
-                # round trip
-                "age": 0,
             }
             return -1
         self._finish_kf_commit_blob(
@@ -1509,15 +1512,17 @@ class StereoTracker:
 
     def _finish_kf_commit(self, force: bool = False):
         """Phase B of a deferred keyframe commit: consume the host-mirror
-        blob (whose copy has been landing behind the following frames'
+        blob (whose copy has been landing behind the next frame's
         compute), update the host observation tables, release the unused
         spawn tail, and publish the KF to new_kf_slots (the facade
-        dispatches BA only once the mirrors it reads are live)."""
+        dispatches BA only once the mirrors it reads are live). A/B
+        note: aging the completion a SECOND frame shaved ~13 ms more off
+        the KF frame on the tunneled chip but delayed new-landmark
+        publication enough to starve mono mapping and double the
+        1000-frame adversarial ATE — one frame is the accuracy-neutral
+        depth."""
         pk = self._kf_pending
         if pk is None:
-            return
-        if not force and pk["age"] < 1:
-            pk["age"] += 1
             return
         self._kf_pending = None
         tb = time.perf_counter()

@@ -13,9 +13,41 @@ import dataclasses
 
 import numpy as np
 
-from vslam_tpu.geometry import se3
 
 GRAVITY_W = np.array([0.0, 0.0, -9.81])
+
+
+def _np_expmap(w: np.ndarray) -> np.ndarray:
+    """Host-side Rodrigues (N, 3) -> (N, 3, 3). Scene construction calls
+    this thousands of times for tiny arrays; routing them through the
+    jax se3 ops costs a device dispatch each (~100 s of scene build on a
+    tunneled TPU)."""
+    w = np.atleast_2d(np.asarray(w, np.float64))
+    theta = np.linalg.norm(w, axis=-1, keepdims=True)
+    theta = np.maximum(theta, 1e-12)
+    k = w / theta
+    K = np.zeros((len(w), 3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -k[:, 2], k[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k[:, 2], -k[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k[:, 1], k[:, 0]
+    st = np.sin(theta)[..., None]
+    ct = np.cos(theta)[..., None]
+    return np.eye(3) + st * K + (1.0 - ct) * (K @ K)
+
+
+def _np_logmap(R: np.ndarray) -> np.ndarray:
+    """Host-side SO(3) log (N, 3, 3) -> (N, 3) for small-to-moderate
+    angles (the finite-difference gyro extraction uses eps-scale steps)."""
+    R = np.asarray(R, np.float64)
+    tr = np.clip((np.trace(R, axis1=-2, axis2=-1) - 1.0) * 0.5, -1.0, 1.0)
+    theta = np.arccos(tr)
+    v = np.stack(
+        [R[:, 2, 1] - R[:, 1, 2], R[:, 0, 2] - R[:, 2, 0], R[:, 1, 0] - R[:, 0, 1]],
+        axis=-1,
+    )
+    s = np.where(theta > 1e-9, theta / np.maximum(2.0 * np.sin(theta), 1e-12), 0.5)
+    return v * s[:, None]
+
 
 
 def _smooth_trajectory(n_frames: int, dt: float, speed: float = 1.2, yaw_rate: float = 0.05):
@@ -33,9 +65,7 @@ def _smooth_trajectory(n_frames: int, dt: float, speed: float = 1.2, yaw_rate: f
         )
 
     ts = np.arange(n_frames) * dt
-    import jax.numpy as jnp
-
-    R = np.asarray(se3.so3_expmap(jnp.asarray(np.atleast_2d(rotvec(ts).reshape(-1, 3)), jnp.float32)))
+    R = _np_expmap(rotvec(ts).reshape(-1, 3))
     poses = np.tile(np.eye(4), (n_frames, 1, 1))
     poses[:, :3, :3] = R
     poses[:, :3, 3] = pos(ts)
@@ -295,17 +325,14 @@ def _imu_from_analytic(n_frames, dt, imu_hz, pos_fn, rotvec_fn):
     m = int(n_frames * dt * imu_hz)
     t_imu = (np.arange(m) + 1) * (1.0 / imu_hz)
     eps = 1e-4
-    import jax.numpy as jnp
 
     def R_of(t):
-        return np.asarray(
-            se3.so3_expmap(jnp.asarray(rotvec_fn(np.atleast_1d(t)).reshape(-1, 3), jnp.float32))
-        )
+        return _np_expmap(rotvec_fn(np.atleast_1d(t)).reshape(-1, 3))
 
     R_t = R_of(t_imu)
     R_tp = R_of(t_imu + eps)
     dR = np.einsum("nij,nik->njk", R_t, R_tp)  # R^T R+
-    gyro = np.asarray(se3.so3_logmap(jnp.asarray(dR, jnp.float32))) / eps
+    gyro = _np_logmap(dR) / eps
     acc_w = (
         pos_fn(t_imu + eps) - 2.0 * pos_fn(t_imu) + pos_fn(t_imu - eps)
     ) / eps**2
@@ -383,11 +410,7 @@ def make_scene(
             )
 
         ts = np.arange(n_frames) * dt
-        import jax.numpy as jnp
-
-        R = np.asarray(
-            se3.so3_expmap(jnp.asarray(rotvec_fn(ts).reshape(-1, 3), jnp.float32))
-        )
+        R = _np_expmap(rotvec_fn(ts).reshape(-1, 3))
         poses = np.tile(np.eye(4), (n_frames, 1, 1))
         poses[:, :3, :3] = R
         poses[:, :3, 3] = pos_fn(ts)
@@ -414,13 +437,7 @@ def make_scene(
         def rotvec_fn(t):
             return base_rot(_warp(t))
 
-        import jax.numpy as jnp
-
-        R = np.asarray(
-            se3.so3_expmap(
-                jnp.asarray(rotvec_fn(ts).reshape(-1, 3), jnp.float32)
-            )
-        )
+        R = _np_expmap(rotvec_fn(ts).reshape(-1, 3))
         poses = np.tile(np.eye(4), (n_frames, 1, 1))
         poses[:, :3, :3] = R
         poses[:, :3, 3] = pos_fn(ts)
@@ -551,11 +568,7 @@ def make_loop_scene(
         )
 
     ts = np.arange(n_frames) * dt
-    import jax.numpy as jnp
-
-    R = np.asarray(
-        se3.so3_expmap(jnp.asarray(rotvec(ts).reshape(-1, 3), jnp.float32))
-    )
+    R = _np_expmap(rotvec(ts).reshape(-1, 3))
     poses = np.tile(np.eye(4), (n_frames, 1, 1))
     poses[:, :3, :3] = R
     poses[:, :3, 3] = pos(ts)
