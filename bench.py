@@ -222,7 +222,7 @@ def run_mono_pipeline(n_frames=60, warmup=12):
     return fps, float(ate)
 
 
-def run_loop_circuit(n_frames=325):
+def run_loop_circuit(n_frames=360):
     """Drive the closed-circuit scene through the facade with loop
     closure on; returns (closures fired, final ATE after the pose-graph
     corrections)."""
@@ -236,7 +236,9 @@ def run_loop_circuit(n_frames=325):
     from vslam_tpu.utils.config import ConfigFile
 
     W, H = 512, 384
-    scene = synthetic.make_loop_scene(n_frames=n_frames, width=W, height=H)
+    scene = synthetic.make_loop_scene(
+        n_frames=n_frames, width=W, height=H, loops=1.2
+    )
     cfg = pathlib.Path(tempfile.mkdtemp()) / "c.yaml"
     cfg.write_text(f"""rectified: true
 slamMode: 1
@@ -248,11 +250,19 @@ Camera_l: {{fx: 460.0, fy: 460.0, cx: {W/2}, cy: {H/2}}}
 Camera_r: {{fx: 460.0, fy: 460.0, cx: {W/2}, cy: {H/2}}}
 FE: {{nFeatures: 1024, nLevels: 8, imScale: 1.2, edgeThreshold: 19, maxFastThreshold: 20, minFastThreshold: 7}}
 """)
+    from vslam_tpu.models import tracker as tracker_mod
+
+    # active set smaller than the map: forces the loop-closure path (a
+    # roomy active set re-acquires the lap-start landmarks directly and
+    # the detector correctly stays idle — see tests/test_loop_closure)
     sys_ = system_mod.VSlamSystem(
         ConfigFile(str(cfg)), async_ba=True, lm_capacity=1 << 15,
         kf_capacity=256, loop_closure=True,
+        tracker_params=tracker_mod.TrackerParams(
+            n_features=1024, n_levels=8, active_size=1024
+        ),
     )
-    frames = _render_frames(scene, n_frames, "loop_512x384_s0_f325")
+    frames = _render_frames(scene, n_frames, "loop_512x384_s0_f325_l12")
     for f in range(n_frames):
         sys_.track_stereo(frames[f][0], frames[f][1])
     sys_.exit()

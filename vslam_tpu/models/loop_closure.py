@@ -148,12 +148,16 @@ class LoopCloser:
             )
         )
         votes[n:] = 0
-        # exclude the trivially-matching neighborhood: recent KFs + EVERY
-        # covisible KF (uncapped — a capped top-N once let a weakly-covis
-        # keyframe through as a "loop", the classic self-similar-corridor
-        # false positive)
+        # exclude the trivially-matching neighborhood: recent KFs + every
+        # TRULY covisible KF (uncapped, weight >= the reference's
+        # covisibility threshold, src/KeyFrame.cpp:133). The threshold
+        # matters at both ends: a capped top-N once let a weakly-covis
+        # keyframe through as a "loop" (self-similar-corridor false
+        # positive), while excluding at weight >= 1 suppressed a TRUE
+        # revisit — re-observing a handful of boundary landmarks is
+        # exactly what closing a loop looks like, not a trivial match
         votes[max(0, kf_slot - self.min_gap) : kf_slot + 1] = 0
-        covis = w.covisible_kfs(kf_slot, max_n=n, min_weight=1)
+        covis = w.covisible_kfs(kf_slot, max_n=n, min_weight=15)
         votes[covis] = 0
         best = int(np.argmax(votes))
         if votes[best] < self.min_votes:

@@ -109,6 +109,13 @@ class TrackerParams:
     kf_critical_stereo: int | None = None
     kf_tracked_ratio: float = 0.9
     kf_tracked_ratio_many: float = 0.7
+    # hard ceiling on the keyframe GAP (frames): when tracking is healthy
+    # the reference's ratio-gated policy can stall keyframes for 50+
+    # frames, which starves everything keyframe-driven — loop-closure
+    # detection runs per inserted KF, so a revisit can pass entirely
+    # between keyframes; relocalization anchors + covisibility thin out
+    # too. ORB-SLAM keeps the same temporal ceiling for the same reason.
+    kf_max_interval: int = 30
     many_keys: int = 350
     outlier_age: int = 20
     # consecutive lost (refused-solve) frames before the tracker re-seeds
@@ -1325,8 +1332,9 @@ class StereoTracker:
         critical_stereo = saw_last_kf and n_stereo_inl < crit
         periodic = frame_idx - self.last_kf_frame >= p.kf_every
         degraded = n_inl < ratio_thr * max(self.last_kf_tracked, 1)
+        gap = frame_idx - self.last_kf_frame >= p.kf_max_interval
         return (
-            ((low_stereo or periodic) and degraded) or critical_stereo
+            ((low_stereo or periodic) and degraded) or critical_stereo or gap
         ) and n_inl >= p.min_inliers // 2
 
     # ------------------------------------------------------------------
@@ -1781,4 +1789,5 @@ class MonoTracker(StereoTracker):
                 frame_idx - self.last_kf_frame >= p.kf_every
                 and n_inl < ratio_thr * max(self.last_kf_tracked, 1)
             )
+            or frame_idx - self.last_kf_frame >= p.kf_max_interval
         ) and n_inl >= p.min_inliers // 2
