@@ -304,6 +304,17 @@ def main():
         extra["track_ms_p50"] = track_stats.get("p50_ms")
         extra["track_ms_p90"] = track_stats.get("p90_ms")
 
+        # --- loop-closure circuit (VERDICT r3 #1: detection + pose-graph
+        # correction exercised through the LIVE pipeline) ---
+        # runs FIRST among the optional sections: it is the newest
+        # capability and its first-compile cost must not be starved
+        # by the perf variants
+        if time.perf_counter() - t_start < budget_s - 120:
+            closures, ate_lc = run_loop_circuit()
+            extra["loop_closures"] = closures
+            extra["loop_circuit_ate_rmse_m"] = round(ate_lc, 4)
+        else:
+            extra["loop_skipped"] = "over time budget"
         # --- KITTI geometry (reference: 2000 features @ 1241x376, 10 fps;
         # padded to 1248x384 = multiples of the 8x128 vector lanes).
         # Each optional section starts only with headroom for its own
@@ -336,14 +347,6 @@ def main():
         else:
             extra["mono_skipped"] = "over time budget"
 
-        # --- loop-closure circuit (VERDICT r3 #1: detection + pose-graph
-        # correction exercised through the LIVE pipeline) ---
-        if time.perf_counter() - t_start < budget_s - 90:
-            closures, ate_lc = run_loop_circuit()
-            extra["loop_closures"] = closures
-            extra["loop_circuit_ate_rmse_m"] = round(ate_lc, 4)
-        else:
-            extra["loop_skipped"] = "over time budget"
     except Exception as e:  # optional sections must not zero the metric
         extra["optional_section_error"] = repr(e)[:200]
 
