@@ -95,21 +95,38 @@ def run_pipeline(scene, params, n_frames, warmup, cache_key):
     # BA latency and no host thread fights the GIL
     pending_ba = [None, -10]  # (handle, dispatch frame)
     BA_LATENCY = 2  # frames to let the async chain age before the fetch
+    BA_MAX_LATENCY = 8  # readiness-poll ceiling (mirrors VSlamSystem)
 
     def consume_ba(f, force=False):
-        if pending_ba[0] is not None and (force or f - pending_ba[1] >= BA_LATENCY):
-            r = mapper.finish(pending_ba[0])
-            pending_ba[0] = None
-            trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
-            trk.add_active(r["new_lm_ids"])
+        if pending_ba[0] is None:
+            return
+        if not force:
+            age = f - pending_ba[1]
+            if age < BA_LATENCY:
+                return
+            # past the minimum age, keep deferring while the background
+            # prefetch has not landed the result blobs (the blocking
+            # fetch mid-chain was the r4 p90 tail); the device-resident
+            # map itself was already updated at dispatch
+            if age < BA_MAX_LATENCY and not local_mapper.pending_ready(
+                pending_ba[0]
+            ):
+                return
+        r = mapper.finish(pending_ba[0])
+        pending_ba[0] = None
+        trk.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
+        trk.add_active(r["new_lm_ids"])
 
     def step(f):
         consume_ba(f)
         n_kf = len(trk.new_kf_slots)
         trk.track(frames[f])
+        if pending_ba[0] is not None:
+            # phase B of a staged BA dispatches BEHIND this frame's step
+            pending_ba[0] = mapper.advance(pending_ba[0])
         if len(trk.new_kf_slots) > n_kf and trk.new_kf_slots[-1] > 0:
             consume_ba(f, force=True)  # at most one BA in flight
-            pending_ba[0] = mapper.run_async(trk.new_kf_slots[-1])
+            pending_ba[0] = mapper.run_async_staged(trk.new_kf_slots[-1])
             pending_ba[1] = f
 
     for f in range(warmup):
@@ -236,8 +253,15 @@ def run_loop_circuit(n_frames=360):
     from vslam_tpu.utils.config import ConfigFile
 
     W, H = 512, 384
+    loops, wall_radius = 1.2, 10.0
     scene = synthetic.make_loop_scene(
-        n_frames=n_frames, width=W, height=H, loops=1.2
+        n_frames=n_frames, width=W, height=H, loops=loops,
+        wall_radius=wall_radius,
+    )
+    # cache key encodes every scene parameter the render depends on —
+    # a parameter change can never silently reuse stale frames
+    cache_key = (
+        f"loop_{W}x{H}_s0_f{n_frames}_l{int(loops * 10)}_wr{int(wall_radius)}"
     )
     cfg = pathlib.Path(tempfile.mkdtemp()) / "c.yaml"
     cfg.write_text(f"""rectified: true
@@ -262,7 +286,7 @@ FE: {{nFeatures: 1024, nLevels: 8, imScale: 1.2, edgeThreshold: 19, maxFastThres
             n_features=1024, n_levels=8, active_size=1024
         ),
     )
-    frames = _render_frames(scene, n_frames, "loop_512x384_s0_f325_l12")
+    frames = _render_frames(scene, n_frames, cache_key)
     for f in range(n_frames):
         sys_.track_stereo(frames[f][0], frames[f][1])
     sys_.exit()
@@ -284,15 +308,30 @@ def main():
     from vslam_tpu.utils import synthetic
 
     # --- EuRoC geometry (the primary metric: 752x480, 20 fps capture) ---
+    # MEDIAN OF 3 runs (VERDICT r4 weak #1: one sample per round made the
+    # +-10% remote-tunnel variance indistinguishable from a real
+    # regression; the median with min/max reported is noise-robust).
+    # Repeats are budget-gated so a slow tunnel day degrades to fewer
+    # samples, never to a missing number.
     n_frames, warmup = 80, 12
     scene = synthetic.make_scene(
         n_frames=n_frames, n_points=900, width=752, height=480, fps=20.0, seed=3
     )
     params = tracker.TrackerParams(n_features=1024, n_levels=8, active_size=4096)
-    fps, ate, trk, mapper = run_pipeline(
-        scene, params, n_frames, warmup, "euroc_752x480_s3_f80"
-    )
+    runs = []
+    for rep in range(3):
+        runs.append(
+            run_pipeline(scene, params, n_frames, warmup, "euroc_752x480_s3_f80")
+        )
+        # first run pays any cold compiles; stop repeating if the budget
+        # cannot fit another repeat plus the optional sections (~190 s)
+        if time.perf_counter() - t_start > budget_s - 190:
+            break
+    fps_samples = sorted(r[0] for r in runs)
+    fps = fps_samples[len(fps_samples) // 2]  # median
+    ate, trk, mapper = runs[-1][1], runs[-1][2], runs[-1][3]
     extra = {
+        "fps_samples": [round(v, 2) for v in fps_samples],
         "ate_rmse_m_synthetic": round(ate, 4),
         "n_keyframes": trk.world.n_keyframes,
         "n_landmarks": trk.world.n_landmarks,

@@ -577,6 +577,15 @@ def _apply_triangulation(
     )
 
 
+def pending_ready(pending: dict) -> bool:
+    """True once a prefetched pending handle's result blobs have landed
+    in host memory (consume will not block). Without a prefetch this is
+    conservatively False — jax.Array.is_ready is NOT a usable signal on
+    every backend (axon never reports ready without an explicit block)."""
+    fut = pending.get("fetch")
+    return fut is not None and fut.done()
+
+
 @dataclasses.dataclass
 class LocalMapperConfig:
     max_covisible: int = 10  # reference window size
@@ -617,11 +626,28 @@ class LocalMapper:
         # bench.py for the local-BA solves/s metric)
         self.metrics = metrics_mod.StageTimer()
         self.counters = metrics_mod.Counters()
-        # pinned problem shapes: ONE compiled (obs_cap, L_cap) per instance
+        # pinned problem shapes: ONE compiled (obs_cap, L_cap) per instance.
+        # The default obs_cap tracks the MEASURED live-row plateau — a
+        # mature 12-KF window at 1024 features carries ~4.3k live
+        # observation rows (bench EuRoC trace), and every BA iteration
+        # pays O(obs_cap) linearization work on padding beyond that: the
+        # old flat 16384 made the fused 2-round BA ~60 ms device where
+        # ~20 ms is real work (BASELINE.md speed-of-light audit).
+        # 6x keys_per_kf leaves ~40% headroom over the plateau; overflow
+        # beyond it is counted + logged, never silent.
         full_rows = WTOT * (world.keys_per_kf + world.right_obs_per_kf)
-        self._obs_cap = self.cfg.obs_cap or min(16384, full_rows)
+        self._obs_cap = self.cfg.obs_cap or min(6 * world.keys_per_kf, full_rows)
         self._lm_cap = self.cfg.lm_cap or LM_SLOTS
         self.mesh = mesh
+        # one background fetch thread: np.asarray on a jax.Array releases
+        # the GIL while awaiting the device chain + tunnel copy, so the
+        # result blobs land in host numpy WHILE tracking continues, and
+        # Future.done() gives the consume a RELIABLE readiness signal —
+        # jax.Array.is_ready never turns true on the axon backend without
+        # an explicit block (measured), which silently degraded the
+        # readiness-polling consume to fully-blocking forced consumes at
+        # KF dispatch (driver p90 95 ms)
+        self._fetch_pool = None
         self._sharded = None
         self._sharded_cache: dict[int, object] = {}
         if mesh is not None and mesh.devices.size > 1:
@@ -880,22 +906,49 @@ class LocalMapper:
         as device programs without fetching anything. The device-resident
         map is fully updated once the queue drains; the returned pending
         handle carries the in-flight host copies for :meth:`finish`."""
+        return self.advance(self.run_async_staged(kf_slot, mono=mono))
+
+    def run_async_staged(self, kf_slot: int, mono: bool = False) -> dict:
+        """Phase A of the async pipeline: dispatch triangulation + window
+        assembly ONLY, deferring the 2-round BA + write-back to
+        :meth:`advance`. Splitting lets the caller enqueue a frame's
+        tracking program BETWEEN the two phases: the whole chain is
+        ~105 ms of device work, and enqueued as one block at a keyframe
+        it delays the next frames' result fetches by that much — the
+        driver-visible p90 tail (BASELINE.md speed-of-light audit). The
+        BA consumes the problem tensors gathered HERE, so interleaved
+        tracking steps do not change its result."""
         t0 = time.perf_counter()
-        w = self.world
-        cfg = self.cfg
         # triangulation is DISPATCHED but not fetched: _assemble sees its
         # device-side effects (obs mapping + spawn positions) directly, so
-        # the BA program is enqueued back-to-back with the triangulation —
+        # the assembly is enqueued back-to-back with the triangulation —
         # zero host round trips between them
         pend = self._dispatch_triangulation(kf_slot, mono=mono)
         extra = pend["spawn"] if pend is not None else None
-        p, kf_slots, kf_valid, lm_slots_dev, take, n_live = self._assemble(
-            kf_slot, extra_ids=extra
+        stage1 = self._assemble(kf_slot, extra_ids=extra)
+        return {
+            "stage1": stage1,
+            "kf_slot": kf_slot,
+            "mono": mono,
+            "tri": pend,
+            "t0": t0,
+        }
+
+    def advance(self, pending: dict) -> dict:
+        """Phase B: dispatch the fused 2-round BA + write-back for a
+        :meth:`run_async_staged` handle and start the background result
+        prefetch. Idempotent on already-advanced handles."""
+        if "stage1" not in pending:
+            return pending
+        p, kf_slots, kf_valid, lm_slots_dev, take, n_live = pending.pop(
+            "stage1"
         )
-        return self._dispatch_problem(
-            p, kf_slots, kf_valid, lm_slots_dev, take, n_live, kf_slot, mono,
-            pend, t0,
+        out = self._dispatch_problem(
+            p, kf_slots, kf_valid, lm_slots_dev, take, n_live,
+            pending["kf_slot"], pending["mono"], pending["tri"],
+            pending["t0"],
         )
+        return self.prefetch(out)
 
     def _dispatch_problem(
         self, p, kf_slots, kf_valid, lm_slots_dev, take, n_live, kf_slot, mono,
@@ -1110,11 +1163,40 @@ class LocalMapper:
         )
         return self.finish(pending)
 
+    def prefetch(self, pending: dict) -> dict:
+        """Start a background-thread fetch of a pending handle's result
+        blobs. After this, ``pending_ready(pending)`` reports true once
+        the blobs are in host memory and :meth:`finish` consumes them
+        without blocking. Idempotent."""
+        if "fetch" in pending:
+            return pending
+        if self._fetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ba-fetch"
+            )
+        blobs = [pending["host_pack"]]
+        if pending["tri"] is not None:
+            blobs.append(pending["tri"]["blob"])
+        pending["fetch"] = self._fetch_pool.submit(
+            lambda bs=blobs: [np.asarray(b) for b in bs]
+        )
+        return pending
+
     def finish(self, pending: dict) -> dict:
         """Consume a :meth:`run_async` handle: fetch the packed result blobs
         (they have been copying while other work ran) and update the host
         mirrors. Returns re-anchoring info for the tracker."""
         t0 = time.perf_counter()
+        if "stage1" in pending:  # force-consume of a still-staged handle
+            pending = self.advance(pending)
+        fut = pending.pop("fetch", None)
+        if fut is not None:
+            arrs = fut.result()  # usually already done (pending_ready)
+            pending["host_pack"] = arrs[0]
+            if pending["tri"] is not None:
+                pending["tri"]["blob"] = arrs[1]
         w = self.world
         kf_slots, kf_valid = pending["kf_slots"], pending["kf_valid"]
         Wb = len(kf_slots)

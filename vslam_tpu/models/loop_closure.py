@@ -105,6 +105,16 @@ def _apply_correction(
     )
 
 
+MIN_MERGED = 30  # duplicate-landmark pairs a closure must find: a real
+# revisit re-observes old STRUCTURE, so dozens of its new landmarks are
+# duplicates of old ones; an aliased verification (a wrong pose that
+# happened to pass the chi-squared check) finds few. Measured on the
+# bench circuit: genuine closures merged 95-152 pairs, the one bad edge
+# (which quadrupled the final ATE) merged 21. An absolute pose-graph
+# error gate cannot do this job — genuinely-large drift also relaxes to
+# a large residual (the split-map test's 24 cm offset leaves 1.3/edge).
+
+
 class LoopCloser:
     def __init__(self, world: map_state.WorldMap, K, baseline, min_votes: int = 60, min_inliers: int = 30, min_gap: int = MIN_GAP):
         self.world = world
@@ -115,6 +125,16 @@ class LoopCloser:
         self.min_gap = min_gap
         self.closures = 0
         self._last_cand = None  # (kf_slot, old_kf) of the last detection
+        # keyframe slot before which detection stays suppressed after an
+        # APPLIED closure: the seam was just closed and polished — the
+        # immediately following keyframes would re-derive essentially the
+        # same edge from the same evidence. Kept SHORT (4 keyframes):
+        # MIN_MERGED is the defense against bad edges, and a long
+        # cooldown measurably hurts — suppressing re-closures for
+        # min_gap=12 KFs left the final 0.2 lap of the bench circuit
+        # uncorrected (ATE 0.096 vs 0.058 with closures allowed).
+        self.cooldown_kfs = 4
+        self._cooldown_until = -1
 
     # ------------------------------------------------------------------
     def detect(self, kf_slot: int) -> tuple[int, np.ndarray | None]:
@@ -124,6 +144,8 @@ class LoopCloser:
         w = self.world
         n = w.n_keyframes
         if n < self.min_gap + 2 or kf_slot < self.min_gap:
+            return -1, None
+        if kf_slot < self._cooldown_until:
             return -1, None
         keys = types.SimpleNamespace(
             desc=hamming.unpack_signed(w.arrays.obs_desc[kf_slot]),
@@ -156,7 +178,13 @@ class LoopCloser:
         # positive), while excluding at weight >= 1 suppressed a TRUE
         # revisit — re-observing a handful of boundary landmarks is
         # exactly what closing a loop looks like, not a trivial match
-        votes[max(0, kf_slot - self.min_gap) : kf_slot + 1] = 0
+        votes_raw = votes.copy()
+        # SYMMETRIC temporal exclusion: detection runs deferred (after the
+        # async-BA consume), so keyframes NEWER than kf_slot can already
+        # exist — and trivially match it. A one-sided window let slot 38
+        # retrieve as a "loop" for slot 37 on the bench circuit (caught by
+        # the merge gate, but it must never reach verification).
+        votes[max(0, kf_slot - self.min_gap) : kf_slot + self.min_gap + 1] = 0
         covis = w.covisible_kfs(kf_slot, max_n=n, min_weight=15)
         votes[covis] = 0
         best = int(np.argmax(votes))
@@ -164,9 +192,13 @@ class LoopCloser:
             return -1, None
         # contiguity support: a real revisit re-observes a RUN of old
         # keyframes (the visible arc spans several), so the neighbors of
-        # the peak must vote too; an aliasing spike is solitary
+        # the peak must vote too; an aliasing spike is solitary. Support
+        # is evaluated on the PRE-exclusion votes: a neighbor can fall
+        # inside the just-zeroed covisible/recent window and its zeroed
+        # count would wrongly suppress a true peak (its raw votes are
+        # still honest evidence of the revisit's spatial extent).
         lo, hi = max(0, best - 2), min(n, best + 3)
-        neighbors = np.delete(votes[lo:hi], best - lo)
+        neighbors = np.delete(votes_raw[lo:hi], best - lo)
         if (neighbors >= self.min_votes // 2).sum() < 1:
             return -1, None
         T_opt, n_inl, n_match = reloc._verify_candidate(
@@ -199,6 +231,18 @@ class LoopCloser:
         n = w.n_keyframes
         old_last = w.kf_poses_host[kf_slot].copy()
 
+        # ---- structural gate (computed BEFORE any map mutation): a real
+        # revisit finds many duplicate landmarks; too few means the
+        # verified pose is an aliasing accident (see MIN_MERGED) ----
+        pairs = self._merge_pairs(kf_slot, old_kf)
+        if len(pairs) < MIN_MERGED:
+            print(
+                f"[loop_closure] REJECT edge {old_kf}->{kf_slot}: only "
+                f"{len(pairs)} duplicate landmarks (< {MIN_MERGED}) — "
+                f"aliased verification"
+            )
+            return None
+
         # ---- pose graph ----
         Wg = 1
         while Wg < n:
@@ -207,28 +251,59 @@ class LoopCloser:
         poses[:n] = w.kf_poses_host[:n]
         valid = np.zeros(Wg, bool)
         valid[:n] = True
-        E = Wg  # n-1 chain edges + 1 loop edge, padded
-        ei = np.zeros(E, np.int32)
-        ej = np.zeros(E, np.int32)
-        rel = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
-        ew = np.zeros(E, np.float32)
-        for i in range(n - 1):
-            ei[i], ej[i] = i, i + 1
-            rel[i] = np.linalg.inv(poses[i]) @ poses[i + 1]
-            ew[i] = ODO_WEIGHT
-        ei[n - 1], ej[n - 1] = old_kf, kf_slot
-        rel[n - 1] = np.linalg.inv(poses[old_kf]) @ T_loop
-        ew[n - 1] = LOOP_WEIGHT
-
-        new_poses, err = pose_graph.optimize(
-            jnp.asarray(poses),
-            jnp.asarray(valid),
-            jnp.asarray(ei),
-            jnp.asarray(ej),
-            jnp.asarray(rel),
-            jnp.asarray(ew),
-            iters=25,
+        inv_poses = np.linalg.inv(poses[:n])
+        chain_rel = np.tile(np.eye(4, dtype=np.float32), (max(Wg - 1, 1), 1, 1))
+        chain_rel[: n - 1] = np.einsum(
+            "kij,kjl->kil", inv_poses[:-1], poses[1:n]
         )
+        chain_w = np.zeros(max(Wg - 1, 1), np.float32)
+        chain_w[: n - 1] = ODO_WEIGHT
+        rel_loop = inv_poses[old_kf] @ T_loop
+
+        if n > 128:
+            # chain+loops structure: O(P)/iteration block-Thomas +
+            # Woodbury path (the dense (P,P,6,6) Hessian is 604 MB at
+            # P=2048; VERDICT r4 weak #6) — equivalence-tested against
+            # the dense path in tests/test_loop_closure.py
+            L = 4
+            li = np.zeros(L, np.int32)
+            lj = np.zeros(L, np.int32)
+            lrel = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+            lw = np.zeros(L, np.float32)
+            li[0], lj[0], lrel[0], lw[0] = old_kf, kf_slot, rel_loop, LOOP_WEIGHT
+            new_poses, err = pose_graph.optimize_chain(
+                jnp.asarray(poses),
+                jnp.asarray(valid),
+                jnp.asarray(chain_rel),
+                jnp.asarray(chain_w),
+                jnp.asarray(li),
+                jnp.asarray(lj),
+                jnp.asarray(lrel),
+                jnp.asarray(lw),
+                iters=25,
+            )
+        else:
+            E = Wg  # n-1 chain edges + 1 loop edge, padded
+            ei = np.zeros(E, np.int32)
+            ej = np.zeros(E, np.int32)
+            rel = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+            ew = np.zeros(E, np.float32)
+            ei[: n - 1] = np.arange(n - 1)
+            ej[: n - 1] = np.arange(1, n)
+            rel[: n - 1] = chain_rel[: n - 1]
+            ew[: n - 1] = ODO_WEIGHT
+            ei[n - 1], ej[n - 1] = old_kf, kf_slot
+            rel[n - 1] = rel_loop
+            ew[n - 1] = LOOP_WEIGHT
+            new_poses, err = pose_graph.optimize(
+                jnp.asarray(poses),
+                jnp.asarray(valid),
+                jnp.asarray(ei),
+                jnp.asarray(ej),
+                jnp.asarray(rel),
+                jnp.asarray(ew),
+                iters=25,
+            )
         new_poses_np = np.asarray(new_poses)
         if not (
             np.isfinite(float(err))
@@ -262,7 +337,6 @@ class LoopCloser:
         # descriptor among the verified region (old id wins) ----
         remap = np.arange(P, dtype=np.int64)
         merged = np.zeros(P, bool)
-        pairs = self._merge_pairs(kf_slot, old_kf)
         for new_id, old_id in pairs:
             if new_id != old_id and not merged[old_id]:
                 remap[new_id] = old_id
@@ -334,4 +408,5 @@ class LoopCloser:
         r = self.close(kf_slot, old_kf, T_loop)
         if r is not None:
             self._last_cand = None  # don't chain off a just-closed loop
+            self._cooldown_until = kf_slot + self.cooldown_kfs
         return r

@@ -130,3 +130,198 @@ def optimize(
         (poses, jnp.float32(lambda0), error(poses), jnp.int32(0), jnp.bool_(False)),
     )
     return ps, err
+
+
+# ---------------------------------------------------------------------------
+# Sparse (chain + loop-edge) path — VERDICT r4 #6.
+#
+# A SLAM pose graph is an odometry CHAIN plus a handful of loop edges: its
+# Hessian is block-tridiagonal T plus an exact low-rank Gram correction
+# Jl^T Jl from the loop rows (each loop edge is one 6-dim residual touching
+# two poses). Instead of materializing the dense (P, P, 6, 6) Hessian
+# (604 MB at P=2048) and solving 6Px6P dense (O(P^3)), each Gauss-Newton
+# step solves
+#
+#   (T + Jl^T Jl) d = -g
+#
+# by Woodbury:  d = T\g' - T\Jl^T (I + Jl T\Jl^T)^{-1} Jl T\g'
+#
+# where T\* is a block-Thomas solve (two lax.scans of 6x6 ops, O(P),
+# batched over all RHS columns at once). Cost per iteration: O(P) with
+# tiny constants + one (6L)^2 solve for L loop edges — seconds for a
+# 2048-KF graph on the CPU tier, vs minutes/OOM for the dense path.
+# ---------------------------------------------------------------------------
+
+
+def _block_thomas(D, B, rhs):
+    """Solve the symmetric block-tridiagonal system T x = rhs.
+
+    D: (P, 6, 6) diagonal blocks; B: (P-1, 6, 6) super-diagonal blocks
+    (T[i, i+1] = B[i], T[i+1, i] = B[i]^T); rhs: (P, 6, R) — R right-hand
+    sides solved simultaneously. Returns (P, 6, R)."""
+
+    P = D.shape[0]
+    R = rhs.shape[2]
+    # step i consumes B[i-1] (forward elimination) and B[i] (to form
+    # c_i = M_i^{-1} B_i with the SAME factorization solve as d_i — the
+    # two are concatenated into one multi-RHS 6x(R+6) solve per step)
+    B_prev = jnp.concatenate([jnp.zeros((1, 6, 6), D.dtype), B], 0)
+    B_next = jnp.concatenate([B, jnp.zeros((1, 6, 6), D.dtype)], 0)
+
+    def fwd(carry, inp):
+        c_prev, d_prev = carry  # (6, 6), (6, R)
+        Di, Bp, Bn, bi = inp
+        M = Di - Bp.T @ c_prev  # Schur-reduced diagonal
+        sol = jnp.linalg.solve(
+            M, jnp.concatenate([bi - Bp.T @ d_prev, Bn], 1)
+        )
+        d_i, c_i = sol[:, :R], sol[:, R:]
+        return (c_i, d_i), (c_i, d_i)
+
+    _, (cs, ds) = jax.lax.scan(
+        fwd,
+        (jnp.zeros((6, 6), D.dtype), jnp.zeros((6, R), D.dtype)),
+        (D, B_prev, B_next, rhs),
+    )
+
+    def back(x_next, inp):
+        c_i, d_i = inp
+        x_i = d_i - c_i @ x_next
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(
+        back, jnp.zeros((6, R), D.dtype), (cs, ds), reverse=True
+    )
+    return xs
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_chain(
+    poses: jax.Array,  # (P, 4, 4) cam-to-world, slots 0..n-1 live
+    pose_valid: jax.Array,  # (P,) bool
+    chain_rel: jax.Array,  # (P-1, 4, 4) measured T_i^-1 T_{i+1}
+    chain_w: jax.Array,  # (P-1,) sqrt-information (0 = padding)
+    loop_i: jax.Array,  # (L,) int32
+    loop_j: jax.Array,  # (L,) int32
+    loop_rel: jax.Array,  # (L, 4, 4)
+    loop_w: jax.Array,  # (L,) sqrt-information (0 = padding)
+    iters: int = 25,
+    lambda0: float = 1e-6,
+):
+    """Damped Gauss-Newton over a chain+loops pose graph in O(P) per
+    iteration (see module comment). Pose 0 fixed (world gauge). Returns
+    (optimized poses, final error) — same contract as :func:`optimize`,
+    equivalence-tested against it in tests/test_loop_closure.py."""
+    P = poses.shape[0]
+    free = pose_valid & (jnp.arange(P) > 0)
+    ci = jnp.arange(P - 1, dtype=jnp.int32)
+    zeros6 = jnp.zeros(6, jnp.float32)
+
+    def edge_res(ps, i, j, Z, wt):
+        return se3.se3_logmap(se3.inverse(Z) @ se3.inverse(ps[i]) @ ps[j]) * wt
+
+    def error(ps):
+        rc = jax.vmap(lambda i, Z, wt: edge_res(ps, i, i + 1, Z, wt))(
+            ci, chain_rel, chain_w
+        )
+        rl = jax.vmap(lambda i, j, Z, wt: edge_res(ps, i, j, Z, wt))(
+            loop_i, loop_j, loop_rel, loop_w
+        )
+        return 0.5 * (jnp.sum(rc * rc) + jnp.sum(rl * rl))
+
+    def jac_pair(ps, i, j, Z, wt):
+        def res_of(di, dj):
+            Ti = se3.retract(ps[i], di)
+            Tj = se3.retract(ps[j], dj)
+            return se3.se3_logmap(se3.inverse(Z) @ se3.inverse(Ti) @ Tj) * wt
+
+        r = res_of(zeros6, zeros6)
+        Ji = jax.jacfwd(lambda d: res_of(d, zeros6))(zeros6)
+        Jj = jax.jacfwd(lambda d: res_of(zeros6, d))(zeros6)
+        return r, Ji, Jj
+
+    def assemble_solve(ps, lam):
+        # chain: block-tridiagonal T
+        rc, Jci, Jcj = jax.vmap(
+            lambda i, Z, wt: jac_pair(ps, i, i + 1, Z, wt)
+        )(ci, chain_rel, chain_w)
+        Jci = Jci * free[ci][:, None, None]
+        Jcj = Jcj * free[ci + 1][:, None, None]
+        D = jnp.zeros((P, 6, 6))
+        D = D.at[ci].add(jnp.einsum("eik,eil->ekl", Jci, Jci))
+        D = D.at[ci + 1].add(jnp.einsum("eik,eil->ekl", Jcj, Jcj))
+        B = jnp.einsum("eik,eil->ekl", Jci, Jcj)  # (P-1, 6, 6) = T[i, i+1]
+        g = jnp.zeros((P, 6))
+        g = g.at[ci].add(jnp.einsum("eik,ei->ek", Jci, rc))
+        g = g.at[ci + 1].add(jnp.einsum("eik,ei->ek", Jcj, rc))
+
+        # loop rows (kept ENTIRELY in the low-rank term, diagonal blocks
+        # included — T stays exactly the chain part, so T + U^T U == H)
+        rl, Jli, Jlj = jax.vmap(
+            lambda i, j, Z, wt: jac_pair(ps, i, j, Z, wt)
+        )(loop_i, loop_j, loop_rel, loop_w)
+        Jli = Jli * free[loop_i][:, None, None]
+        Jlj = Jlj * free[loop_j][:, None, None]
+        g = g.at[loop_i].add(jnp.einsum("eik,ei->ek", Jli, rl))
+        g = g.at[loop_j].add(jnp.einsum("eik,ei->ek", Jlj, rl))
+
+        # damping on the TOTAL diagonal (chain + loop contributions), so
+        # the step matches the dense path's Levenberg scaling
+        diag_loop = jnp.zeros(P)
+        diag_loop = diag_loop.at[loop_i].add(
+            jnp.einsum("eik,eik->e", Jli, Jli)
+        )
+        diag_loop = diag_loop.at[loop_j].add(
+            jnp.einsum("eik,eik->e", Jlj, Jlj)
+        )
+        trace = jnp.einsum("pii->p", D) + diag_loop
+        eye6 = jnp.eye(6)
+        D = D + (lam * jnp.maximum(trace / 6.0, 1e-8))[:, None, None] * eye6
+        # clamped (non-free) poses: identity rows, zero coupling
+        D = jnp.where(free[:, None, None], D, eye6[None])
+        link = (free[ci] & free[ci + 1])[:, None, None]
+        B = jnp.where(link, B, 0.0)
+
+        # Woodbury: the stacked loop-row Jacobian U is (6L, 6P) with two
+        # nonzero 6x6 blocks per edge; built densely via one-hot einsum
+        # (L*P*36 floats — 1.2 MB even at P=2048, L=16)
+        L = loop_i.shape[0]
+        onehot_i = (loop_i[:, None] == jnp.arange(P)[None]).astype(jnp.float32)
+        onehot_j = (loop_j[:, None] == jnp.arange(P)[None]).astype(jnp.float32)
+        U4 = jnp.einsum("ep,eik->epik", onehot_i, Jli) + jnp.einsum(
+            "ep,eik->epik", onehot_j, Jlj
+        )  # (L, P, 6_res, 6_param)
+        UT = U4.transpose(1, 3, 0, 2).reshape(P, 6, 6 * L)  # T \ U^T panel
+        # T \ [g | U^T] in ONE batched Thomas solve: R = 1 + 6L columns
+        rhs = jnp.concatenate([g[:, :, None], UT], axis=2)  # (P, 6, 1+6L)
+        sol = _block_thomas(D, B, rhs)
+        x_g, X_U = sol[:, :, 0], sol[:, :, 1:]  # (P,6), (P,6,6L)
+        # S = I + U T\U^T  (6L x 6L)
+        U_flat = U4.transpose(0, 2, 1, 3).reshape(6 * L, 6 * P)
+        S = jnp.eye(6 * L) + U_flat @ X_U.reshape(P * 6, 6 * L)
+        Ux = U_flat @ x_g.reshape(-1)
+        corr = X_U.reshape(P * 6, 6 * L) @ jnp.linalg.solve(S, Ux)
+        delta = -(x_g.reshape(-1) - corr).reshape(P, 6)
+        return jnp.where(free[:, None], delta, 0.0)
+
+    def cond(c):
+        _, _, _, it, done = c
+        return (it < iters) & ~done
+
+    def body(c):
+        ps, lam, err, it, _ = c
+        delta = assemble_solve(ps, lam)
+        ps_new = jax.vmap(se3.retract)(ps, delta)
+        err_new = error(ps_new)
+        improved = err_new < err
+        ps = jax.tree.map(lambda a, b: jnp.where(improved, b, a), ps, ps_new)
+        lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 10.0), 1e-9, 1e5)
+        done = improved & (err - err_new <= 1e-9 * jnp.maximum(err, 1e-12))
+        err = jnp.where(improved, err_new, err)
+        return (ps, lam, err, it + 1, done)
+
+    ps, _, err, _, _ = jax.lax.while_loop(
+        cond, body,
+        (poses, jnp.float32(lambda0), error(poses), jnp.int32(0), jnp.bool_(False)),
+    )
+    return ps, err

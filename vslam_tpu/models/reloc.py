@@ -83,9 +83,17 @@ def _verify_candidate(
     # family aliasing floods the verification solve with wrong
     # correspondences — measured: a self-retrieval on a rendered scene
     # matched 738 keys onto 144 landmark-bearing ones and the LM
-    # diverged 24 m with zero inliers)
-    d2 = d.at[jnp.arange(d.shape[0]), best].set(hamming.INVALID)
-    second_d = jnp.min(d2, axis=1)
+    # diverged 24 m with zero inliers). The second-best is taken OUTSIDE
+    # a 3 px radius of the best match: multi-octave duplicate keys of the
+    # same corner carry near-identical descriptors, and counting them as
+    # "second" vetoes true matches (same exclusion
+    # _triangulate_new_points_mono uses).
+    kxy = m.obs_uv[kf_slot][:, :2]
+    best_xy = kxy[jnp.clip(best, 0, kxy.shape[0] - 1)]  # (N, 2)
+    near = (
+        jnp.sum((kxy[None, :, :] - best_xy[:, None, :]) ** 2, axis=-1) < 9.0
+    )  # (N, K)
+    second_d = jnp.min(jnp.where(near, hamming.INVALID, d), axis=1)
     match = (best_d <= RETRIEVAL_DESC_THR) & (best_d <= 0.8 * second_d)
     safe = jnp.where(match, best, 0)
     lm_ids = m.obs_lm[kf_slot][safe]

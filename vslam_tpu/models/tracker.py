@@ -102,10 +102,17 @@ class TrackerParams:
     #                        count; its own knob, not kf_min_stereo reused)
     kf_every: int = 5
     # absolute stereo-inlier floor that bypasses the tracked-ratio AND of
-    # the KF policy; None -> 4/5 of kf_min_stereo. A/B on the bench
-    # scenes (see _kf_decision): 40 -> EuRoC ATE 0.020 / KITTI 0.335
-    # (late endgame collapse), 64 -> 0.008 / 0.026, 80 (= round-2's
-    # unconditional low-stereo trigger) -> KITTI 0.033 at -2 fps.
+    # the KF policy; None -> 4/5 of kf_min_stereo (=64 at the default 80).
+    # Round-4 A/B (clustered-corner ANMS): 40 -> EuRoC ATE 0.020 / KITTI
+    # 0.335 (late endgame collapse), 64 -> 0.008 / 0.026, 80 -> KITTI
+    # 0.033 at -2 fps. Round-5 A/B after the coverage-first ANMS
+    # (tools/ab_kf_policy.py, real chip): EuRoC prefers a LOWER floor
+    # (56 -> 36.3 fps / ATE 0.0061 / p90 76 ms vs 64 -> ~32 fps /
+    # 0.0067 / 17 KFs) but KITTI's forward motion COLLAPSES below 64
+    # (56 -> ATE 2.65 via a mid-run tracking failure + reseed; 64 ->
+    # 0.0089) — the floor's job is exactly that scene's depth turnover,
+    # so the default stays at the scene-robust 4/5 and per-rig configs
+    # may lower it explicitly.
     kf_critical_stereo: int | None = None
     kf_tracked_ratio: float = 0.9
     kf_tracked_ratio_many: float = 0.7
@@ -115,6 +122,12 @@ class TrackerParams:
     # detection runs per inserted KF, so a revisit can pass entirely
     # between keyframes; relocalization anchors + covisibility thin out
     # too. ORB-SLAM keeps the same temporal ceiling for the same reason.
+    # MEASURED (VERDICT r4 #8, tools/ab_kf_policy.py at crit=48): 30 ->
+    # 32.4 fps, 60 -> 33.9, off -> 33.6, ATE identical (0.0075) in all
+    # three — the ceiling costs ~1.3 fps (within run noise) on the bench
+    # scene because the critical-stereo trigger fires first; it binds
+    # only on long healthy stretches, exactly where its KF cadence keeps
+    # loop detection alive. Kept at 30.
     kf_max_interval: int = 30
     many_keys: int = 350
     outlier_age: int = 20
@@ -1148,7 +1161,7 @@ class StereoTracker:
         frames)."""
         while self._pending:
             self._process(*self._pending.popleft())
-        self._finish_kf_commit(force=True)
+        self._finish_kf_commit()
 
     # ------------------------------------------------------------------
     def _process(self, frame_idx: int, outputs: dict, layout: np.ndarray, D_dispatch: np.ndarray):
@@ -1219,7 +1232,7 @@ class StereoTracker:
         if reseed or self._kf_decision(frame_idx, n_keys, n_inl, n_stereo_inl):
             # back-to-back keyframes: the previous deferred commit must
             # complete before a new one is stashed
-            self._finish_kf_commit(force=True)
+            self._finish_kf_commit()
             # normal KF inserts DEFER the host-mirror fetch one frame
             # (reseeds block: recovery needs the fresh active set NOW, and
             # last_kf_tracked must become the actual spawn count)
@@ -1518,7 +1531,7 @@ class StereoTracker:
         self.metrics.record("kf_commit", time.perf_counter() - t0)
         return self._last_n_used
 
-    def _finish_kf_commit(self, force: bool = False):
+    def _finish_kf_commit(self):
         """Phase B of a deferred keyframe commit: consume the host-mirror
         blob (whose copy has been landing behind the next frame's
         compute), update the host observation tables, release the unused
@@ -1528,7 +1541,11 @@ class StereoTracker:
         the KF frame on the tunneled chip but delayed new-landmark
         publication enough to starve mono mapping and double the
         1000-frame adversarial ATE — one frame is the accuracy-neutral
-        depth."""
+        depth. The completion is UNCONDITIONAL and blocking — an
+        is_ready-gated variant was measured to save ~13 ms on the rare
+        not-yet-landed KF+1 frame but made publication timing
+        load-dependent (nondeterministic trajectories; the sync-path
+        equivalence test caught it)."""
         pk = self._kf_pending
         if pk is None:
             return

@@ -81,12 +81,19 @@ def extract_batch(
             continue
         blurred = pyramid.gaussian_blur_batch(cur)
         margin = min(edge_margin, min(h, w) // 4)
+        # ANMS cell adapted to the level quota (trace-time static): with
+        # fewer cells than quota the coverage-first selection cannot
+        # spread past one-corner-per-cell, so the cell shrinks until the
+        # grid has at least `quota` cells — the role SSC's adaptive
+        # suppression radius plays in the reference
+        # (src/FeatureExtractor.cpp:368-468; tests/test_anms_ssc.py).
+        cell_l = max(8, min(cell, int((h * w / max(quota, 1)) ** 0.5)))
         xy, resp, valid = jax.vmap(
             lambda im: fast.detect(
                 im,
                 threshold_hi=fast_hi,
                 threshold_lo=fast_lo,
-                cell=min(cell, max(h, w)),
+                cell=min(cell_l, max(h, w)),
                 max_keypoints=quota,
                 edge_margin=margin,
             )

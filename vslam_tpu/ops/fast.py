@@ -140,11 +140,36 @@ def select_keypoints(
     py = gy * cell + cy
     px = gx * cell + cx
 
+    # Global selection priority: STRONG corners (those carrying detect()'s
+    # dual-threshold boost) before weak ones, coverage before depth within
+    # each strength tier (every occupied cell's best outranks any cell's
+    # 2nd-best), response within a (strength, rank) tier. This is the
+    # reference's semantics exactly — tiles detect at the high threshold
+    # first and fall back to the low one only to fill
+    # (src/FeatureExtractor.cpp:557-608) — and SSC's coverage priority. A
+    # plain response top-k kept the SSC contract only when corners were
+    # sparse (grid coverage 0.64 vs the oracle's 0.91 on 1/f texture);
+    # pure rank-first coverage overweighted low-threshold noise corners
+    # (hard-scene ATE 0.2 -> 0.37). The two-level tier fixes both
+    # (tests/test_anms_ssc.py, tests/test_tracking.py hard scene).
+    rank = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 1)
+    RANK_BONUS = jnp.float32(1 << 14)  # > any boosted response (~1280)
+    STRONG_BONUS = jnp.float32(1 << 20)  # > max rank bonus (3 << 14)
+    strong = (cs > 1024.0).astype(cs.dtype)  # detect()'s boost marker
+    sel = jnp.where(
+        cs > 0.0,
+        cs
+        + (per_cell - 1 - rank).astype(cs.dtype) * RANK_BONUS
+        + strong * STRONG_BONUS,
+        0.0,
+    )
+    flat_sel = sel.reshape(-1)
     flat_s = cs.reshape(-1)
     flat_y = py.reshape(-1)
     flat_x = px.reshape(-1)
     k = min(max_keypoints, flat_s.shape[0])
-    top_s, top_i = jax.lax.top_k(flat_s, k)
+    _, top_i = jax.lax.top_k(flat_sel, k)
+    top_s = flat_s[top_i]  # raw (boosted) response, rank bonus stripped
     out_y = flat_y[top_i]
     out_x = flat_x[top_i]
     valid = top_s > 0.0

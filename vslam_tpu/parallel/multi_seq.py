@@ -42,12 +42,18 @@ from vslam_tpu.models import tracker as tracker_mod
 
 
 class BatchedStereoFrontend:
-    """Drive S StereoTrackers with one batched frame program."""
+    """Drive S StereoTrackers (or S MonoTrackers) with one batched frame
+    program. Mono sequences batch the same `_track_step` with mono=True
+    (VERDICT r4 #5: multi-sequence was stereo-only); each MonoTracker's
+    BOOTSTRAP runs unbatched through its own track() — it is host-driven,
+    per-sequence event logic — and the batch kicks in once every
+    sequence has initialized."""
 
     def __init__(self, trackers: list[tracker_mod.StereoTracker]):
         assert len(trackers) >= 1
         t0 = trackers[0]
         p0 = t0.params
+        self._mono = bool(getattr(t0, "_mono", False))
         for t in trackers[1:]:
             p = t.params
             assert (
@@ -61,6 +67,9 @@ class BatchedStereoFrontend:
                 assert t.imu_cfg.max_samples == t0.imu_cfg.max_samples, (
                     "batched IMU sequences must share max_samples"
                 )
+            assert bool(getattr(t, "_mono", False)) == self._mono, (
+                "batched sequences must agree on mono vs stereo mode"
+            )
         self.trackers = trackers
         self.S = len(trackers)
         self._has_imu = t0.imu_cfg is not None
@@ -81,6 +90,8 @@ class BatchedStereoFrontend:
 
         p = p0
 
+        mono = self._mono
+
         def step(LR, state, imu, imu_const, radii, K, baseline):
             return tracker_mod._track_step(
                 LR,
@@ -89,8 +100,8 @@ class BatchedStereoFrontend:
                 imu_const,
                 radii,
                 jnp.float32(p.refine_radius),
-                jnp.float32(p.desc_thr),
-                jnp.float32(p.ratio),
+                jnp.float32(t0._desc_thr),
+                jnp.float32(t0._ratio),
                 K,
                 baseline,
                 t0.scale_factors,
@@ -99,7 +110,7 @@ class BatchedStereoFrontend:
                 t0.height,
                 p.n_levels,
                 p.min_inliers,
-                mono=False,
+                mono=mono,
                 has_imu=self._has_imu,
             )
 
@@ -117,26 +128,52 @@ class BatchedStereoFrontend:
     # ------------------------------------------------------------------
     def track(self, frames, imu=None) -> list[np.ndarray]:
         """One frame for every sequence. `frames` = list of (left, right)
-        numpy pairs, or a pre-staged (S, 2, H, W) device array. `imu` =
-        list of per-sequence [dt, gyro, accel] row arrays (None entries
-        allowed) when the batch runs stereo-IMU. Returns the newest
-        PROCESSED pose per sequence (lagging by each tracker's pipeline
-        depth, exactly as single-sequence track())."""
+        numpy pairs (stereo) or left images (mono), or a pre-staged
+        (S, 2|1, H, W) device array. `imu` = list of per-sequence
+        [dt, gyro, accel] row arrays (None entries allowed) when the
+        batch runs with IMU. Returns the newest PROCESSED pose per
+        sequence (lagging by each tracker's pipeline depth, exactly as
+        single-sequence track()).
+
+        Mono: while ANY sequence is still bootstrapping, every sequence
+        runs unbatched through its own track() (host-driven per-sequence
+        init); the caller must service `needs_init_triangulation` exactly
+        as in single-sequence mode."""
         ts = self.trackers
-        if ts[0].frame_idx == 0:
-            # frame 0 = per-sequence map init (one-time, unbatched)
-            for i, (t, f) in enumerate(zip(ts, frames)):
+        bootstrapping = self._mono and any(
+            not getattr(t, "initialized", True) for t in ts
+        )
+        if ts[0].frame_idx == 0 or bootstrapping:
+            # per-sequence init (frame-0 stereo map seed / mono bootstrap)
+            for i, t in enumerate(ts):
+                f = frames[i]
                 rows = imu[i] if imu is not None else None
-                t.track(np.asarray(f[0]), np.asarray(f[1]), imu=rows)
+                if self._mono:
+                    left = f[0] if isinstance(f, (list, tuple)) else f
+                    t.track(np.asarray(left), imu=rows)
+                else:
+                    t.track(np.asarray(f[0]), np.asarray(f[1]), imu=rows)
             return [t.pose.copy() for t in ts]
 
         for t in ts:
             t.counters.inc("frames")
         batched = self._stack(*[t._state for t in ts])
         if isinstance(frames, (list, tuple)):
-            LR = jnp.asarray(
-                np.stack([np.stack([f[0], f[1]]) for f in frames])
-            )
+            if self._mono:
+                LR = jnp.asarray(
+                    np.stack(
+                        [
+                            np.asarray(
+                                f[0] if isinstance(f, (list, tuple)) else f
+                            )[None]
+                            for f in frames
+                        ]
+                    )
+                )
+            else:
+                LR = jnp.asarray(
+                    np.stack([np.stack([f[0], f[1]]) for f in frames])
+                )
         else:
             LR = jnp.asarray(frames)
         if self._has_imu and imu is not None:

@@ -319,6 +319,40 @@ def _make_patch_coarse(rng: np.random.Generator, size: int = 21) -> np.ndarray:
     return (q * 215.0 + 25.0).astype(np.float32)
 
 
+def _make_patch_natural(rng: np.random.Generator, size: int = 21) -> np.ndarray:
+    """1/f-amplitude (pink) spectral noise patch — NATURAL-image
+    second-order statistics (power spectrum ~ 1/f^2), per VERDICT r4
+    missing #1: the blob textures' descriptor statistics are builder-made
+    and unrepresentative; natural texture has long-range correlation,
+    weaker local contrast, and corner responses that ride on smooth
+    gradients — the regime real FAST/BRIEF operate in."""
+    n = size + 2
+    f = np.fft.fftfreq(n)
+    fx, fy = np.meshgrid(f, f)
+    rad = np.sqrt(fx * fx + fy * fy)
+    rad[0, 0] = np.abs(f[1])
+    amp = 1.0 / rad
+    amp[0, 0] = 0.0  # zero mean; DC restored by the gray offset below
+    phase = rng.uniform(0.0, 2.0 * np.pi, (n, n))
+    img = np.real(np.fft.ifft2(amp * np.exp(1j * phase)))
+    img = img[1 : size + 1, 1 : size + 1]
+    lo, hi = img.min(), img.max()
+    img = (img - lo) / max(hi - lo, 1e-9)
+    return (img * 205.0 + 25.0).astype(np.float32)
+
+
+def _repeated_patch_bank(
+    rng: np.random.Generator, n_points: int, n_distinct: int = 8
+) -> np.ndarray:
+    """REPEATED-STRUCTURE texture: only `n_distinct` base patches tiled
+    across all landmarks (a building facade's identical windows). Every
+    descriptor has dozens of near-exact aliases in the map — the
+    worst case for wide-radius matching, retrieval and loop-closure
+    verification; the ratio tests and contiguity gates must carry it."""
+    bank = np.stack([_make_patch_coarse(rng) for _ in range(n_distinct)])
+    return bank[np.arange(n_points) % n_distinct]
+
+
 def _imu_from_analytic(n_frames, dt, imu_hz, pos_fn, rotvec_fn):
     """Exact IMU samples: finite-difference the analytic trajectory at
     high rate. Returns (M, 7) [t, gyro_xyz, accel_xyz] body-frame rows."""
@@ -475,8 +509,14 @@ def make_scene(
         drop = inside & (rng.uniform(0.0, 1.0, n_points) > keep)
         pts = pts[~drop]
         n_points = len(pts)
-    patch_fn = _make_patch_coarse if texture == "distinct" else _make_patch
-    patches = np.stack([patch_fn(rng) for _ in range(n_points)])
+    if texture == "repeated":
+        patches = _repeated_patch_bank(rng, n_points)
+    else:
+        patch_fn = {
+            "distinct": _make_patch_coarse,
+            "natural": _make_patch_natural,
+        }.get(texture, _make_patch)
+        patches = np.stack([patch_fn(rng) for _ in range(n_points)])
 
     # static world-anchored occluder planes, staggered along (and slightly
     # off) the camera path so forward motion sweeps them across the view
@@ -509,7 +549,7 @@ def make_scene(
         velocities=vel,
         imu=imu,
         imu_hz=imu_hz,
-        background=120.0 if texture == "distinct" else 15.0,
+        background=15.0 if texture == "classic" else 120.0,
         noise_std=noise_std,
         gain_drift=gain_drift,
         occluders_w=occluders_w,
