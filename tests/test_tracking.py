@@ -409,6 +409,88 @@ def test_relocalization_recovers_on_old_map(small_params):
     assert errs.max() < 0.15, errs
 
 
+def test_mono_relocalization_recovers_on_old_map():
+    """Mono-IMU RELOCALIZATION (VERDICT r4 #5: reloc had no mono test):
+    the mono tracker maps a lateral sweep, blacks out long enough to
+    dead-reckon away, then teleports back to the start of the mapped
+    area — retrieval + verified PnP must re-anchor on the ORIGINAL map
+    (final poses correct in the original world frame, unaligned)."""
+    from vslam_tpu.utils import datasets
+
+    scene = synthetic.make_scene(
+        n_frames=20, n_points=500, width=320, height=240, fps=10.0,
+        seed=11, texture="distinct", motion="lateral",
+    )
+    p = tracker.TrackerParams(
+        n_features=512, n_levels=4, active_size=1024, spawn_per_kf=256,
+    )
+    world = map_state.WorldMap(
+        lm_capacity=8192, kf_capacity=64, keys_per_kf=p.n_features
+    )
+    imu_cfg = tracker.ImuConfig(
+        gyro_noise=1.7e-4, accel_noise=2e-3, gyro_walk=1.9e-5,
+        accel_walk=3e-3, hz=200.0, T_bc=np.eye(4, dtype=np.float32),
+        gravity_w=synthetic.GRAVITY_W.astype(np.float32),
+    )
+    trk = tracker.MonoTracker(
+        scene.K.astype(np.float32), scene.width, scene.height, world, p,
+        imu_cfg=imu_cfg,
+    )
+    trk.velocity = scene.velocities[0].astype(np.float32)
+    mapper = local_mapper.LocalMapper(
+        world, scene.K.astype(np.float32), 0.0,
+        local_mapper.LocalMapperConfig(n_levels=4, scale=1.2),
+    )
+    bins = datasets.bin_imu_per_frame(scene.imu, scene.times)
+
+    def dt_rows(f):
+        rows = bins[f]
+        if rows is None or len(rows) == 0:
+            return None
+        t = rows[:, 0]
+        dts = np.diff(np.concatenate([[t[0] - 0.005], t]))
+        return np.concatenate(
+            [np.maximum(dts, 0)[:, None], rows[:, 1:7]], axis=1
+        ).astype(np.float32)
+
+    def step(f, img, imu):
+        nk = len(trk.new_kf_slots)
+        trk.track(img, imu=imu)
+        if getattr(trk, "needs_init_triangulation", False):
+            ids = mapper.find_new_points(trk.new_kf_slots[-1], mono=True)
+            trk.add_active(ids)
+            trk.needs_init_triangulation = False
+            trk.last_kf_tracked = max(len(ids), 1)
+        elif len(trk.new_kf_slots) > nk and trk.new_kf_slots[-1] > 0:
+            ids = mapper.find_new_points(trk.new_kf_slots[-1], mono=True)
+            trk.add_active(ids)
+
+    black = np.zeros((scene.height, scene.width), np.float32)
+    for f in range(10):
+        step(f, scene.render(f), dt_rows(f))
+    for k in range(6):  # blackout: no features, no IMU hand-holding
+        step(10 + k, black, None)
+    # teleport back to a mapped pose and HOVER there (a zero-velocity
+    # restart is exactly what relocalization promises; a moving replay
+    # additionally tests velocity re-estimation, which mono-IMU only
+    # recovers with real IMU samples — not available post-teleport)
+    hover = scene.render(2)
+    for i in range(12):
+        step(16 + i, hover, None)
+    trk.flush()
+    assert trk.counters.get("relocalizations") == 1, (
+        trk.counters.rates(), trk.lost_streak
+    )
+    # tracking re-acquired on the old map after the reloc settled
+    assert trk.last_stats["n_inliers"] >= 20, trk.last_stats
+    poses = trk.trajectory()
+    # final processed frames sit near the TRUE original-frame pose of the
+    # hover view — correct in the ORIGINAL world frame (unaligned)
+    gt_t = scene.poses_c2w[2][:3, 3]
+    errs = np.linalg.norm(poses[-3:, :3, 3] - gt_t[None], axis=1)
+    assert errs.max() < 0.25, errs
+
+
 def test_tracking_survives_hard_scene(small_params):
     """Hard-mode synthetic (VERDICT round-1 #6): photometric sensor noise,
     exposure drift, and moving textureless occluders. Validates that the

@@ -146,10 +146,17 @@ class VSlamSystem:
             )
             self._maps = (jnp.asarray(ml), jnp.asarray(mr))
 
-        # post-closure polish: run a full-map BA after every applied
-        # closure (see _try_loop_closure). Overridable for callers that
-        # schedule their own polish (or cannot afford it mid-run).
+        # post-closure polish: run a full-map BA after an applied closure
+        # (see _try_loop_closure). Overridable for callers that schedule
+        # their own polish (or cannot afford it mid-run). Rate-limited:
+        # a multi-loop trajectory closes against the same region every
+        # few keyframes, and a full-map BA per closure at a grown map is
+        # wasted work — the polish runs only when the map gained at
+        # least `polish_min_new_kfs` keyframes since the last one (the
+        # pose graph + merge still apply on every closure).
         self.closure_polish = True
+        self.polish_min_new_kfs = 8
+        self._last_polish_nkf = -(1 << 30)  # first closure always polishes
         self.loop_closer = None
         if loop_closure:
             from vslam_tpu.models import loop_closure as lc_mod
@@ -224,9 +231,13 @@ class VSlamSystem:
             return
         self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
         self.tracker.refresh_after_ba()
-        if self.closure_polish:
+        nkf = self.world.n_keyframes
+        if self.closure_polish and (
+            nkf - self._last_polish_nkf >= self.polish_min_new_kfs
+        ):
             g = self.mapper.run_global()
             if g is not None:
+                self._last_polish_nkf = nkf
                 self.tracker.reanchor(g["kf_slot"], g["old_pose"], g["new_pose"])
                 self.tracker.refresh_after_ba()
 

@@ -1643,6 +1643,14 @@ class MonoTracker(StereoTracker):
     # mapper's static window (local_mapper.WINDOW) — the fixed-shape
     # analog of the reference's unbounded allFrames walk
     MAX_BOOTSTRAP_VIEWS = 12
+    # floor on the view count before init completes: at fast ego-motion
+    # the 3 motion gates can pass in 3 consecutive frames, and a 3-view
+    # init triangulates too few landmarks to track (measured on the
+    # circuit scene: 19 landmarks -> 0 inliers -> permanent dead-reckon;
+    # 6+ views -> a dense init). The reference sidesteps this only
+    # because its allFrames walk happens long after bootstrap
+    # (src/FeatureTracker.cpp:1497-1633).
+    MIN_BOOTSTRAP_VIEWS = 6
 
     def __init__(self, K, width, height, world, params=None, imu_cfg=None):
         super().__init__(
@@ -1728,7 +1736,10 @@ class MonoTracker(StereoTracker):
             self.bootstrap_slots.append(self.last_kf_slot)
             if take_gate:
                 self.gate_slots.append(self.last_kf_slot)
-            if len(self.gate_slots) >= self.BOOTSTRAP_KFS:
+            if (
+                len(self.gate_slots) >= self.BOOTSTRAP_KFS
+                and len(self.bootstrap_slots) >= self.MIN_BOOTSTRAP_VIEWS
+            ):
                 # caller triangulates the initial map from this window
                 self.needs_init_triangulation = True
                 self.initialized = True
