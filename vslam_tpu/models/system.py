@@ -232,8 +232,12 @@ class VSlamSystem:
         self.tracker.reanchor(r["kf_slot"], r["old_pose"], r["new_pose"])
         self.tracker.refresh_after_ba()
         nkf = self.world.n_keyframes
-        if self.closure_polish and (
-            nkf - self._last_polish_nkf >= self.polish_min_new_kfs
+        if (
+            self.closure_polish
+            # mono: a projection-only global BA has no scale gauge (see
+            # _dispatch_ba) — pose graph + merge only
+            and self.mode != SlamMode.MONOCULAR
+            and nkf - self._last_polish_nkf >= self.polish_min_new_kfs
         ):
             g = self.mapper.run_global()
             if g is not None:
@@ -315,7 +319,23 @@ class VSlamSystem:
         if len(self.tracker.new_kf_slots) > n_kf_before:
             slot = self.tracker.new_kf_slots[-1]
             if slot > 0:  # BA needs at least 2 KFs
-                if self._async:
+                if mono:
+                    # NO monocular local BA — reference parity
+                    # (src/System.cpp:11-20: mono mode creates no
+                    # LocalMapper) and MEASURED: the projection-only
+                    # window BA has no scale gauge in mono (nothing pins
+                    # the metric scale once the window slides off the
+                    # IMU-anchored bootstrap), and it AMPLIFIES drift
+                    # ~100x — 1.02 m vs 0.012 m at frame 200 of the long
+                    # lateral run. Keyframe mapping is multi-view
+                    # triangulation only; scale rides on the per-frame
+                    # CombinedImuFactor solve. (A visual-inertial BA with
+                    # per-KF velocity/bias states is the documented
+                    # follow-up, like the Sim(3) mono pose graph.)
+                    ids = self.mapper.find_new_points(slot, mono=True)
+                    self.tracker.add_active(ids)
+                    self._try_loop_closure(slot)
+                elif self._async:
                     # at most one BA in flight
                     self._consume_ba_results(force=True)
                     self._pending_ba = self.mapper.run_async_staged(

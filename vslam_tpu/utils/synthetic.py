@@ -427,13 +427,27 @@ def make_scene(
     wide-radius mono matching with aliases."""
     rng = np.random.default_rng(seed)
     dt = 1.0 / fps
-    if motion == "lateral":
+    if motion in ("lateral", "excited"):
         speed_x, speed_z = 0.6, 0.12
+        # "excited": lateral sweep with STRONG velocity oscillation.
+        # Monocular-inertial SCALE is observable only under acceleration
+        # (a constant velocity error is invisible to the accelerometer,
+        # so under near-constant motion mono scale + velocity drift
+        # together — measured: the plain lateral sweep diverges ~1 cm/
+        # frame after ~100 frames with healthy inlier counts). Real MAV
+        # sequences are acceleration-rich; this variant matches that
+        # regime: +-0.45 m/s velocity swing at ~0.4 m/s^2 peak.
+        amp = 0.5 if motion == "excited" else 0.0
 
         def pos_fn(t):
             t = np.asarray(t, np.float64)
             return np.stack(
-                [speed_x * t, 0.12 * np.sin(0.4 * t), speed_z * t], axis=-1
+                [
+                    speed_x * t + amp * np.sin(0.9 * t),
+                    0.12 * np.sin(0.4 * t) + 0.3 * amp * np.sin(1.3 * t),
+                    speed_z * t,
+                ],
+                axis=-1,
             )
 
         def rotvec_fn(t):
@@ -479,7 +493,7 @@ def make_scene(
     K = np.array([[460.0, 0, width / 2.0], [0, 460.0, height / 2.0], [0, 0, 1.0]])
     baseline = 0.12
 
-    if motion == "lateral":
+    if motion in ("lateral", "excited"):
         # a wall of landmarks spanning the lateral sweep
         span = 0.6 * n_frames * dt
         zmin, zmax = depth_range if depth_range else (3.0, 9.0)
