@@ -136,6 +136,91 @@ def test_sparse_pose_graph_matches_dense():
     assert errs.max() < 0.05, errs.max()
 
 
+def test_sim3_pose_graph_recovers_scale_drift():
+    """Monocular SCALE drift (each odometry step's translation stretched
+    by a compounding factor) cannot be absorbed by an SE(3) loop edge —
+    the Sim(3) chain graph (7-dof states, Strasdat/ORB-SLAM style) must
+    distribute both the pose AND the scale error and recover the true
+    trajectory where the SE(3) path demonstrably cannot."""
+    from vslam_tpu.geometry import sim3
+
+    n = 40
+    step = np.asarray(
+        se3.se3_expmap(jnp.asarray([0.0, 0.02, 0.0, 0.0, 0.0, 0.3], jnp.float32))
+    )
+    gt = [np.eye(4, dtype=np.float32)]
+    for _ in range(1, n):
+        gt.append(gt[-1] @ step)
+    gt = np.stack(gt)
+    # mono-style scale drift: step i's translation scaled by q^i
+    q = 1.012  # compounds to ~1.6x by the loop end
+    est = [gt[0]]
+    for i in range(1, n):
+        stretched = step.copy()
+        stretched[:3, 3] *= q ** (i - 1)
+        est.append(est[-1] @ stretched)
+    est = np.stack(est).astype(np.float32)
+    pre = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+    assert pre > 0.5, pre  # the stretch is real
+
+    # chain measurements from the DRIFTED estimates (scale-1 Sim(3));
+    # loop edge (0, n-1) with the TRUE relative pose AND the measured
+    # relative scale — the new leg's local map runs at ~q^(n-2) times the
+    # old leg's scale, which is exactly what the Umeyama fit of merged
+    # duplicate landmarks reports (ORB-SLAM's Horn-alignment Sim3 edge);
+    # a scale-1 loop edge would FIGHT the chain instead of closing it
+    chain_rel = np.stack(
+        [np.linalg.inv(est[i]) @ est[i + 1] for i in range(n - 1)]
+    ).astype(np.float32)
+    w = np.full(n - 1, 100.0, np.float32)
+    L = 4
+    lip = np.zeros(L, np.int32)
+    ljp = np.zeros(L, np.int32)
+    lrelp = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+    lwp = np.zeros(L, np.float32)
+    lip[0], ljp[0] = 0, n - 1
+    rel_true = np.linalg.inv(gt[0]) @ gt[-1]
+    s_loop = float(q ** -(n - 2))  # measured new-leg/old-leg scale ratio
+    Z = rel_true.copy().astype(np.float32)
+    Z[:3, :3] *= s_loop
+    lrelp[0] = Z
+    lwp[0] = 100.0
+
+    S_opt, err = pose_graph.optimize_sim3_chain(
+        jnp.asarray(est), jnp.ones(n, bool), jnp.asarray(chain_rel),
+        jnp.asarray(w), jnp.asarray(lip), jnp.asarray(ljp),
+        jnp.asarray(lrelp), jnp.asarray(lwp), iters=40,
+    )
+    poses_s = np.asarray(sim3.to_se3(S_opt))
+    post_sim3 = np.linalg.norm(poses_s[-1][:3, 3] - gt[-1][:3, 3])
+
+    # the SE(3) path on the identical problem, for contrast
+    ps_se3, _ = pose_graph.optimize_chain(
+        jnp.asarray(est), jnp.ones(n, bool), jnp.asarray(chain_rel),
+        jnp.asarray(w), jnp.asarray(lip), jnp.asarray(ljp),
+        jnp.asarray(lrelp), jnp.asarray(lwp), iters=40,
+    )
+    ps_se3 = np.asarray(ps_se3)
+    post_se3 = np.linalg.norm(ps_se3[-1][:3, 3] - gt[-1][:3, 3])
+
+    # Sim(3) recovers the loop end AND the whole trajectory
+    assert post_sim3 < 0.05 * pre, (pre, post_sim3)
+    errs = np.linalg.norm(poses_s[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert errs.max() < 0.15, errs.max()
+    # the recovered per-KF scales descend to compensate the stretch
+    scales = np.asarray(sim3.scale_of(S_opt))
+    assert scales[-1] < 0.85, scales[-1]
+    # and SE(3) is measurably worse mid-chain (it cannot rescale the
+    # stretched segments, only bend them)
+    errs_se3 = np.linalg.norm(ps_se3[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert errs.max() < 0.5 * errs_se3.max(), (errs.max(), errs_se3.max())
+    print(
+        f"\n[sim3] pre={pre:.3f} post_sim3={post_sim3:.4f} "
+        f"post_se3={post_se3:.4f} max_err sim3/se3="
+        f"{errs.max():.3f}/{errs_se3.max():.3f} s_end={scales[-1]:.3f}"
+    )
+
+
 def test_sparse_pose_graph_scales_to_2048():
     """A 2048-keyframe graph (the dense path's documented P <= ~1k wall,
     VERDICT r4 weak #6: a KITTI-scale map with degraded tracking blows
@@ -188,7 +273,7 @@ def test_sparse_pose_graph_scales_to_2048():
     assert errs.max() < 0.2, errs.max()
 
 
-def _split_map_world(n_kf=20, n_pts=400, seed=3):
+def _split_map_world(n_kf=20, n_pts=400, seed=3, scale_err=1.0):
     """A map whose trajectory revisits its start, built as TWO sub-maps:
     leg A (KFs 0..9, ground truth) and leg B (KFs 10..19) stored with a
     rigid DRIFT offset T_err — the situation after accumulated drift (or
@@ -221,6 +306,9 @@ def _split_map_world(n_kf=20, n_pts=400, seed=3):
             ]
     xi = np.array([0.06, 0.22, 0.08, 0.015, 0.03, 0.01], np.float32)
     T_err = np.asarray(se3.se3_expmap(jnp.asarray(xi)))  # the drift
+    # optional SIMILARITY drift (mono tests): leg B additionally scaled
+    # by scale_err about the origin — projections stay consistent
+    # because a global similarity of camera + points preserves images
 
     keys_per_kf = 512
     world = map_state.WorldMap(
@@ -229,7 +317,7 @@ def _split_map_world(n_kf=20, n_pts=400, seed=3):
     )
     # duplicate landmark populations: leg A ids 0..n_pts-1 at X; leg B ids
     # n_pts..2*n_pts-1 at T_err @ X
-    XB = (T_err[:3, :3] @ X.T).T + T_err[:3, 3]
+    XB = scale_err * ((T_err[:3, :3] @ X.T).T + T_err[:3, 3])
     lm_pos = np.zeros((2048, 3), np.float32)
     lm_pos[:n_pts] = X
     lm_pos[n_pts : 2 * n_pts] = XB
@@ -241,6 +329,7 @@ def _split_map_world(n_kf=20, n_pts=400, seed=3):
 
     stored_poses = true_poses.copy()
     stored_poses[half:] = np.einsum("ij,kjl->kil", T_err, true_poses[half:])
+    stored_poses[half:, :3, 3] *= scale_err  # similarity: t' = s(R t + t_err)
 
     obs_uv = np.zeros((32, keys_per_kf, 3), np.float32)
     obs_lm = np.full((32, keys_per_kf), -1, np.int64)
@@ -329,18 +418,18 @@ def test_mono_mode_loop_closure_detects_and_merges():
     closure had no mono test): the split-map world re-run with
     baseline=0 and NO right-camera rows — detection, the
     projection-only geometric verification (the path mono mode
-    exercises), pose graph and merge must behave exactly as in stereo.
+    exercises), the Sim(3) chain graph and the merge must close it.
 
-    Scope note (measured, PARITY.md "Mono loop-closure limits"): a LIVE
-    mono-tracked circuit accumulates mono SCALE drift, and an SE(3)
-    loop edge cannot absorb a scale discrepancy — ORB-SLAM closes mono
-    loops over Sim(3) for exactly this reason. The machinery below is
-    what mono mode runs; live mono closure at parity with stereo needs
-    the Sim(3) graph (documented future work — the reference has no
-    loop closure in ANY mode)."""
+    Leg B carries a SIMILARITY drift — the rigid offset AND a 0.9 scale,
+    the mono failure mode an SE(3) edge cannot absorb. The mono path
+    measures the loop edge's relative scale by a scaled Umeyama fit of
+    the merged duplicate-landmark pairs and optimizes 7-dof Sim(3)
+    states (pose_graph.optimize_sim3_chain, ORB-SLAM's approach); the
+    landmarks move by the full similarity delta. (The reference has no
+    loop closure in ANY mode.)"""
     from vslam_tpu.models import loop_closure
 
-    world, true_poses, T_err, K = _split_map_world()
+    world, true_poses, T_err, K = _split_map_world(scale_err=0.9)
     n = world.n_keyframes
     # mono mode: drop every right-camera observation row
     import dataclasses

@@ -260,7 +260,56 @@ class LoopCloser:
         chain_w[: n - 1] = ODO_WEIGHT
         rel_loop = inv_poses[old_kf] @ T_loop
 
-        if n > 128:
+        if float(self.baseline) == 0.0:
+            # MONOCULAR closure: Sim(3) graph (Strasdat / ORB-SLAM) —
+            # mono drifts in SCALE too, and an SE(3) loop edge cannot
+            # absorb a scale discrepancy (measured: closing a
+            # scale-drifted mono leg over SE(3) warps the map,
+            # BASELINE.md "Mono drift envelope"). The loop edge's
+            # relative scale comes from a scaled Umeyama fit of the
+            # merged duplicate-landmark pairs — the Horn-alignment Sim3
+            # measurement. Landmarks move by the FULL Sim(3) per-KF
+            # delta; camera poses keep the SE(3) part.
+            from vslam_tpu.geometry import sim3 as sim3_mod
+            from vslam_tpu.utils import trajectory as traj_mod
+
+            lm_pos = np.asarray(w.arrays.lm_pos)
+            new_ids = np.asarray([a for a, _ in pairs])
+            old_ids = np.asarray([b for _, b in pairs])
+            R_c, t_c, s_c = traj_mod.umeyama_alignment(
+                lm_pos[new_ids], lm_pos[old_ids], with_scale=True
+            )
+            S_corr = np.eye(4, dtype=np.float32)
+            S_corr[:3, :3] = (s_c * R_c).astype(np.float32)
+            S_corr[:3, 3] = t_c.astype(np.float32)
+            # measured loop edge: Z = S_o^-1 S_corr S_n (at the optimum
+            # S_n' = S_corr S_n with S_o held)
+            S_o = poses[old_kf].copy()
+            S_n = poses[kf_slot].copy()
+            Z_loop = (np.linalg.inv(S_o) @ S_corr @ S_n).astype(np.float32)
+            L = 4
+            li = np.zeros(L, np.int32)
+            lj = np.zeros(L, np.int32)
+            lrel = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+            lw = np.zeros(L, np.float32)
+            li[0], lj[0], lrel[0], lw[0] = old_kf, kf_slot, Z_loop, LOOP_WEIGHT
+            S_opt, err = pose_graph.optimize_sim3_chain(
+                jnp.asarray(poses),
+                jnp.asarray(valid),
+                jnp.asarray(chain_rel),
+                jnp.asarray(chain_w),
+                jnp.asarray(li),
+                jnp.asarray(lj),
+                jnp.asarray(lrel),
+                jnp.asarray(lw),
+                iters=30,
+            )
+            new_poses = sim3_mod.to_se3(S_opt)
+            # landmark correction: full Sim(3) delta per anchor keyframe
+            sim3_delta = np.asarray(
+                S_opt @ sim3_mod.inverse(jnp.asarray(poses))
+            ).astype(np.float32)
+        elif n > 128:
             # chain+loops structure: O(P)/iteration block-Thomas +
             # Woodbury path (the dense (P,P,6,6) Hessian is 604 MB at
             # P=2048; VERDICT r4 weak #6) — equivalence-tested against
@@ -327,11 +376,14 @@ class LoopCloser:
             ids_r = ids_r[ids_r >= 0]
             anchor[ids_r] = k
         touched = anchor >= 0
-        delta = np.einsum(
-            "kij,kjl->kil",
-            new_poses_np[:Wg],
-            np.linalg.inv(poses[:Wg]),
-        ).astype(np.float32)
+        if float(self.baseline) == 0.0:
+            delta = sim3_delta  # full Sim(3) per-KF correction (mono)
+        else:
+            delta = np.einsum(
+                "kij,kjl->kil",
+                new_poses_np[:Wg],
+                np.linalg.inv(poses[:Wg]),
+            ).astype(np.float32)
 
         # ---- duplicate merge: new KF's landmarks vs old KF's, matched by
         # descriptor among the verified region (old id wins) ----

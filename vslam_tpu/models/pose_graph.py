@@ -156,20 +156,21 @@ def optimize(
 def _block_thomas(D, B, rhs):
     """Solve the symmetric block-tridiagonal system T x = rhs.
 
-    D: (P, 6, 6) diagonal blocks; B: (P-1, 6, 6) super-diagonal blocks
-    (T[i, i+1] = B[i], T[i+1, i] = B[i]^T); rhs: (P, 6, R) — R right-hand
-    sides solved simultaneously. Returns (P, 6, R)."""
+    D: (P, d, d) diagonal blocks; B: (P-1, d, d) super-diagonal blocks
+    (T[i, i+1] = B[i], T[i+1, i] = B[i]^T); rhs: (P, d, R) — R right-hand
+    sides solved simultaneously. Block size d comes from the inputs
+    (6 for SE(3), 7 for the Sim(3) mono path). Returns (P, d, R)."""
 
-    P = D.shape[0]
+    P, d = D.shape[0], D.shape[1]
     R = rhs.shape[2]
     # step i consumes B[i-1] (forward elimination) and B[i] (to form
     # c_i = M_i^{-1} B_i with the SAME factorization solve as d_i — the
-    # two are concatenated into one multi-RHS 6x(R+6) solve per step)
-    B_prev = jnp.concatenate([jnp.zeros((1, 6, 6), D.dtype), B], 0)
-    B_next = jnp.concatenate([B, jnp.zeros((1, 6, 6), D.dtype)], 0)
+    # two are concatenated into one multi-RHS dx(R+d) solve per step)
+    B_prev = jnp.concatenate([jnp.zeros((1, d, d), D.dtype), B], 0)
+    B_next = jnp.concatenate([B, jnp.zeros((1, d, d), D.dtype)], 0)
 
     def fwd(carry, inp):
-        c_prev, d_prev = carry  # (6, 6), (6, R)
+        c_prev, d_prev = carry  # (d, d), (d, R)
         Di, Bp, Bn, bi = inp
         M = Di - Bp.T @ c_prev  # Schur-reduced diagonal
         sol = jnp.linalg.solve(
@@ -180,7 +181,7 @@ def _block_thomas(D, B, rhs):
 
     _, (cs, ds) = jax.lax.scan(
         fwd,
-        (jnp.zeros((6, 6), D.dtype), jnp.zeros((6, R), D.dtype)),
+        (jnp.zeros((d, d), D.dtype), jnp.zeros((d, R), D.dtype)),
         (D, B_prev, B_next, rhs),
     )
 
@@ -190,7 +191,7 @@ def _block_thomas(D, B, rhs):
         return x_i, x_i
 
     _, xs = jax.lax.scan(
-        back, jnp.zeros((6, R), D.dtype), (cs, ds), reverse=True
+        back, jnp.zeros((d, R), D.dtype), (cs, ds), reverse=True
     )
     return xs
 
@@ -323,5 +324,146 @@ def optimize_chain(
     ps, _, err, _, _ = jax.lax.while_loop(
         cond, body,
         (poses, jnp.float32(lambda0), error(poses), jnp.int32(0), jnp.bool_(False)),
+    )
+    return ps, err
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) chain path — monocular loop closure (scale-drift-aware).
+#
+# A mono loop accumulates SCALE drift as well as pose drift, and an SE(3)
+# loop edge cannot absorb a scale discrepancy — closing over SE(3) warps
+# the map (measured; BASELINE.md "Mono drift envelope"). Following
+# Strasdat et al. / ORB-SLAM, mono closures optimize over Sim(3): 7-dof
+# states (pose + log-scale), chain edges with scale 1 from the current
+# estimates, and a loop edge whose similarity is estimated by a scaled
+# Umeyama fit of the merged duplicate-landmark pairs. Same O(P)/iteration
+# block-Thomas + Woodbury structure as optimize_chain, with 7x7 blocks.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_sim3_chain(
+    poses: jax.Array,  # (P, 4, 4) cam-to-world SE(3), slots 0..n-1 live
+    pose_valid: jax.Array,  # (P,) bool
+    chain_rel: jax.Array,  # (P-1, 4, 4) measured Sim(3) (scale-1 from estimates)
+    chain_w: jax.Array,  # (P-1,) sqrt-information (0 = padding)
+    loop_i: jax.Array,  # (L,) int32
+    loop_j: jax.Array,  # (L,) int32
+    loop_rel: jax.Array,  # (L, 4, 4) measured Sim(3) relative transforms
+    loop_w: jax.Array,  # (L,) sqrt-information (0 = padding)
+    iters: int = 25,
+    lambda0: float = 1e-6,
+):
+    """Damped Gauss-Newton over a Sim(3) chain+loops graph. States are
+    initialized at scale 1 from the SE(3) poses; pose 0 stays fixed.
+    Returns (optimized Sim(3) states (P, 4, 4), final error). Callers
+    take `sim3.to_se3(S)` as the corrected camera poses and apply the
+    full Sim(3) delta `S' @ inverse(S)` to the landmarks."""
+    from vslam_tpu.geometry import sim3
+
+    P = poses.shape[0]
+    free = pose_valid & (jnp.arange(P) > 0)
+    ci = jnp.arange(P - 1, dtype=jnp.int32)
+    zeros7 = jnp.zeros(7, jnp.float32)
+    states0 = sim3.from_se3(poses)
+
+    def edge_res(ps, i, j, Z, wt):
+        return sim3.logmap(sim3.inverse(Z) @ sim3.inverse(ps[i]) @ ps[j]) * wt
+
+    def error(ps):
+        rc = jax.vmap(lambda i, Z, wt: edge_res(ps, i, i + 1, Z, wt))(
+            ci, chain_rel, chain_w
+        )
+        rl = jax.vmap(lambda i, j, Z, wt: edge_res(ps, i, j, Z, wt))(
+            loop_i, loop_j, loop_rel, loop_w
+        )
+        return 0.5 * (jnp.sum(rc * rc) + jnp.sum(rl * rl))
+
+    def jac_pair(ps, i, j, Z, wt):
+        def res_of(di, dj):
+            Si = sim3.retract(ps[i], di)
+            Sj = sim3.retract(ps[j], dj)
+            return sim3.logmap(sim3.inverse(Z) @ sim3.inverse(Si) @ Sj) * wt
+
+        r = res_of(zeros7, zeros7)
+        Ji = jax.jacfwd(lambda d: res_of(d, zeros7))(zeros7)
+        Jj = jax.jacfwd(lambda d: res_of(zeros7, d))(zeros7)
+        return r, Ji, Jj
+
+    def assemble_solve(ps, lam):
+        rc, Jci, Jcj = jax.vmap(
+            lambda i, Z, wt: jac_pair(ps, i, i + 1, Z, wt)
+        )(ci, chain_rel, chain_w)
+        Jci = Jci * free[ci][:, None, None]
+        Jcj = Jcj * free[ci + 1][:, None, None]
+        D = jnp.zeros((P, 7, 7))
+        D = D.at[ci].add(jnp.einsum("eik,eil->ekl", Jci, Jci))
+        D = D.at[ci + 1].add(jnp.einsum("eik,eil->ekl", Jcj, Jcj))
+        B = jnp.einsum("eik,eil->ekl", Jci, Jcj)
+        g = jnp.zeros((P, 7))
+        g = g.at[ci].add(jnp.einsum("eik,ei->ek", Jci, rc))
+        g = g.at[ci + 1].add(jnp.einsum("eik,ei->ek", Jcj, rc))
+
+        rl, Jli, Jlj = jax.vmap(
+            lambda i, j, Z, wt: jac_pair(ps, i, j, Z, wt)
+        )(loop_i, loop_j, loop_rel, loop_w)
+        Jli = Jli * free[loop_i][:, None, None]
+        Jlj = Jlj * free[loop_j][:, None, None]
+        g = g.at[loop_i].add(jnp.einsum("eik,ei->ek", Jli, rl))
+        g = g.at[loop_j].add(jnp.einsum("eik,ei->ek", Jlj, rl))
+
+        diag_loop = jnp.zeros(P)
+        diag_loop = diag_loop.at[loop_i].add(jnp.einsum("eik,eik->e", Jli, Jli))
+        diag_loop = diag_loop.at[loop_j].add(jnp.einsum("eik,eik->e", Jlj, Jlj))
+        trace = jnp.einsum("pii->p", D) + diag_loop
+        eye7 = jnp.eye(7)
+        D = D + (lam * jnp.maximum(trace / 7.0, 1e-8))[:, None, None] * eye7
+        D = jnp.where(free[:, None, None], D, eye7[None])
+        link = (free[ci] & free[ci + 1])[:, None, None]
+        B = jnp.where(link, B, 0.0)
+
+        L = loop_i.shape[0]
+        onehot_i = (loop_i[:, None] == jnp.arange(P)[None]).astype(jnp.float32)
+        onehot_j = (loop_j[:, None] == jnp.arange(P)[None]).astype(jnp.float32)
+        U4 = jnp.einsum("ep,eik->epik", onehot_i, Jli) + jnp.einsum(
+            "ep,eik->epik", onehot_j, Jlj
+        )  # (L, P, 7_res, 7_param)
+        UT = U4.transpose(1, 3, 0, 2).reshape(P, 7, 7 * L)
+        rhs = jnp.concatenate([g[:, :, None], UT], axis=2)
+        sol = _block_thomas(D, B, rhs)
+        x_g, X_U = sol[:, :, 0], sol[:, :, 1:]
+        U_flat = U4.transpose(0, 2, 1, 3).reshape(7 * L, 7 * P)
+        S = jnp.eye(7 * L) + U_flat @ X_U.reshape(P * 7, 7 * L)
+        Ux = U_flat @ x_g.reshape(-1)
+        corr = X_U.reshape(P * 7, 7 * L) @ jnp.linalg.solve(S, Ux)
+        delta = -(x_g.reshape(-1) - corr).reshape(P, 7)
+        return jnp.where(free[:, None], delta, 0.0)
+
+    def cond(c):
+        _, _, _, it, done = c
+        return (it < iters) & ~done
+
+    def body(c):
+        ps, lam, err, it, _ = c
+        delta = assemble_solve(ps, lam)
+        ps_new = jax.vmap(sim3.retract)(ps, delta)
+        err_new = error(ps_new)
+        improved = err_new < err
+        ps = jax.tree.map(lambda a, b: jnp.where(improved, b, a), ps, ps_new)
+        lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 10.0), 1e-9, 1e5)
+        done = improved & (err - err_new <= 1e-9 * jnp.maximum(err, 1e-12))
+        err = jnp.where(improved, err_new, err)
+        return (ps, lam, err, it + 1, done)
+
+    ps, _, err, _, _ = jax.lax.while_loop(
+        cond, body,
+        (
+            states0,
+            jnp.float32(lambda0),
+            error(states0),
+            jnp.int32(0),
+            jnp.bool_(False),
+        ),
     )
     return ps, err
