@@ -286,6 +286,11 @@ FE: {{nFeatures: 1024, nLevels: 8, imScale: 1.2, edgeThreshold: 19, maxFastThres
             n_features=1024, n_levels=8, active_size=1024
         ),
     )
+    # the circuit section reports ATE, not fps: consume at a FIXED
+    # latency so keyframe cadence and closure timing are deterministic
+    # (readiness polling varies run-to-run with thread timing — measured
+    # ATE spread 0.058-0.134 on identical settings without this)
+    sys_.deterministic_ba_latency = True
     frames = _render_frames(scene, n_frames, cache_key)
     for f in range(n_frames):
         sys_.track_stereo(frames[f][0], frames[f][1])

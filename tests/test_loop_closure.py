@@ -507,6 +507,9 @@ FE: {{nFeatures: 1024, nLevels: 8, imScale: 1.2, edgeThreshold: 19, maxFastThres
         ConfigFile(str(cfg)), async_ba=True, lm_capacity=1 << 15,
         kf_capacity=256, loop_closure=True, tracker_params=params,
     )
+    # deterministic consume latency: reproducible closure timing (the
+    # same switch the bench circuit uses; see VSlamSystem)
+    sys_.deterministic_ba_latency = True
     events = []
     orig_close = sys_.loop_closer.close
 
@@ -584,4 +587,4 @@ FE: {{nFeatures: 1024, nLevels: 8, imScale: 1.2, edgeThreshold: 19, maxFastThres
     assert ate2 < max(1.1 * ate, 0.05), (ate, ate2)
     print(f"\n[live-loop] closures={sys_.loop_closer.closures} "
           f"ate={ate:.4f} -> {ate2:.4f} (closure err {pre:.3f}->{post:.3f}; "
-          f"polish kf_ate {pre_ba:.4f}->{post_ba:.4f})")
+          f"polish kf_ate deltas {[(round(a, 4), round(b, 4)) for a, b in polish_deltas]})")

@@ -155,7 +155,7 @@ class VSlamSystem:
         # least `polish_min_new_kfs` keyframes since the last one (the
         # pose graph + merge still apply on every closure).
         self.closure_polish = True
-        self.polish_min_new_kfs = 8
+        self.polish_min_new_kfs = 4
         self._last_polish_nkf = -(1 << 30)  # first closure always polishes
         self.loop_closer = None
         if loop_closure:
@@ -174,13 +174,22 @@ class VSlamSystem:
         # the result copies have landed and finish() costs ~1 ms
         self.ba_latency_frames = 2
         # past the minimum age the consume additionally POLLS the result
-        # blobs (jax.Array.is_ready) and keeps deferring while the device
-        # chain is still running — the BA writeback already updated the
-        # device-resident map at dispatch, so only the host-side reanchor
-        # and new-landmark publication wait. A hard ceiling bounds the
-        # staleness (r4 p90 was 4.6x p50 precisely because the consume
-        # blocked mid-chain on the tunnel; VERDICT r4 weak #2)
+        # blobs (background-prefetch Future.done) and keeps deferring
+        # while the device chain is still running — the BA writeback
+        # already updated the device-resident map at dispatch, so only
+        # the host-side reanchor and new-landmark publication wait. A
+        # hard ceiling bounds the staleness (r4 p90 was 4.6x p50
+        # precisely because the consume blocked mid-chain on the tunnel;
+        # VERDICT r4 weak #2)
         self.ba_max_latency_frames = 8
+        # readiness polling makes the consume frame — hence KF cadence
+        # and loop-closure timing — depend on wall-clock thread timing.
+        # True: skip the poll and consume (blocking) at exactly
+        # ba_latency_frames — a deterministic trajectory for ATE
+        # benchmarking and reproducibility tests, at some fps cost
+        # (measured circuit ATE spread 0.058-0.134 across identical
+        # nondeterministic runs)
+        self.deterministic_ba_latency = False
 
     # ------------------------------------------------------------------
     def _rectify(self, left, right):
@@ -204,8 +213,10 @@ class VSlamSystem:
             age = self._frame_count - self._ba_dispatch_frame
             if age < self.ba_latency_frames:
                 return
-            if age < self.ba_max_latency_frames and not local_mapper.pending_ready(
-                self._pending_ba
+            if (
+                not self.deterministic_ba_latency
+                and age < self.ba_max_latency_frames
+                and not local_mapper.pending_ready(self._pending_ba)
             ):
                 return  # chain still running on device; poll next frame
         r = self.mapper.finish(self._pending_ba)
