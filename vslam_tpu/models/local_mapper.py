@@ -906,7 +906,10 @@ class LocalMapper:
         as device programs without fetching anything. The device-resident
         map is fully updated once the queue drains; the returned pending
         handle carries the in-flight host copies for :meth:`finish`."""
-        return self.advance(self.run_async_staged(kf_slot, mono=mono))
+        pending = self.run_async_staged(kf_slot, mono=mono)
+        while "stage1" in pending or "stage2" in pending:
+            pending = self.advance(pending)
+        return pending
 
     def run_async_staged(self, kf_slot: int, mono: bool = False) -> dict:
         """Phase A of the async pipeline: dispatch triangulation + window
@@ -935,20 +938,48 @@ class LocalMapper:
         }
 
     def advance(self, pending: dict) -> dict:
-        """Phase B: dispatch the fused 2-round BA + write-back for a
-        :meth:`run_async_staged` handle and start the background result
-        prefetch. Idempotent on already-advanced handles."""
-        if "stage1" not in pending:
+        """Advance a :meth:`run_async_staged` handle by ONE dispatch
+        phase (call once per tracked frame):
+
+        - stage1 -> dispatch BA round 1 + chi-squared sweep;
+        - stage2 -> dispatch round 2 + write-back, start the prefetch.
+
+        Splitting the rounds keeps every enqueued block under ~35 ms of
+        device time, so the tracking steps interleaved between phases
+        stall less (the fused 2-round program was the largest single
+        block in the queue — the dominant p90 term). The mesh-sharded
+        path keeps the fused program (one shard_map dispatch).
+        Idempotent on fully-advanced handles."""
+        if "stage1" in pending:
+            p, kf_slots, kf_valid, lm_slots_dev, take, n_live = pending.pop(
+                "stage1"
+            )
+            if self._sharded is not None:
+                out = self._dispatch_problem(
+                    p, kf_slots, kf_valid, lm_slots_dev, take, n_live,
+                    pending["kf_slot"], pending["mono"], pending["tri"],
+                    pending["t0"],
+                )
+                return self.prefetch(out)
+            p1 = schur.local_ba_round1(p, iters1=self.cfg.iters_round1)
+            pending["stage2"] = (
+                p, p1, kf_slots, kf_valid, lm_slots_dev, take, n_live
+            )
             return pending
-        p, kf_slots, kf_valid, lm_slots_dev, take, n_live = pending.pop(
-            "stage1"
-        )
-        out = self._dispatch_problem(
-            p, kf_slots, kf_valid, lm_slots_dev, take, n_live,
-            pending["kf_slot"], pending["mono"], pending["tri"],
-            pending["t0"],
-        )
-        return self.prefetch(out)
+        if "stage2" in pending:
+            p, p1, kf_slots, kf_valid, lm_slots_dev, take, n_live = (
+                pending.pop("stage2")
+            )
+            p2, err, kill = schur.local_ba_round2(
+                p1, iters2=self.cfg.iters_round2
+            )
+            out = self._writeback_dispatch(
+                p, p2, err, kill, kf_slots, kf_valid, lm_slots_dev, take,
+                n_live, pending["kf_slot"], pending["mono"],
+                pending["tri"], pending["t0"],
+            )
+            return self.prefetch(out)
+        return pending
 
     def _dispatch_problem(
         self, p, kf_slots, kf_valid, lm_slots_dev, take, n_live, kf_slot, mono,
@@ -957,17 +988,14 @@ class LocalMapper:
         """Dispatch the fused 2-round BA + write-back for an assembled
         problem (any W — the local window or the whole map for
         :meth:`run_global`) and return the pending handle."""
-        w = self.world
         cfg = self.cfg
-        Wb = len(kf_slots)
-        old_last_pose = w.kf_poses_host[kf_slot].copy()
-
         # round 1 -> chi2 sweep -> round 2 -> final kill mask, ONE device
         # program (reference 543-873; fused to avoid per-stage dispatch
         # RTTs); sharded over the mesh when one is configured — INCLUDING
         # the slab-chunked global-BA path (mesh sharding composes with
         # slab chunking since round 4; the mesh pays off most exactly at
-        # map scale)
+        # map scale). The LIVE async path splits the rounds across two
+        # dispatch phases instead (see :meth:`advance`).
         if self._sharded is not None:
             from vslam_tpu.parallel import sharded_ba
 
@@ -979,6 +1007,20 @@ class LocalMapper:
                 p, iters1=cfg.iters_round1, iters2=cfg.iters_round2,
                 n_slabs=n_slabs,
             )
+        return self._writeback_dispatch(
+            p, p2, err, kill, kf_slots, kf_valid, lm_slots_dev, take,
+            n_live, kf_slot, mono, pend, t0,
+        )
+
+    def _writeback_dispatch(
+        self, p, p2, err, kill, kf_slots, kf_valid, lm_slots_dev, take,
+        n_live, kf_slot, mono, pend, t0,
+    ) -> dict:
+        """Pack the result blob, start its device->host copy, and dispatch
+        the map write-back scatters for a solved BA problem."""
+        w = self.world
+        Wb = len(kf_slots)
+        old_last_pose = w.kf_poses_host[kf_slot].copy()
         # take rides as a BITCAST int32 (not a float cast — f32 is exact
         # only to 2^24, and at >=8192 grown keyframes the flat row indices
         # exceed that, silently severing the wrong observations on decode)
@@ -1189,8 +1231,8 @@ class LocalMapper:
         (they have been copying while other work ran) and update the host
         mirrors. Returns re-anchoring info for the tracker."""
         t0 = time.perf_counter()
-        if "stage1" in pending:  # force-consume of a still-staged handle
-            pending = self.advance(pending)
+        while "stage1" in pending or "stage2" in pending:
+            pending = self.advance(pending)  # force-drain staged phases
         fut = pending.pop("fetch", None)
         if fut is not None:
             arrs = fut.result()  # usually already done (pending_ready)

@@ -135,6 +135,13 @@ class LoopCloser:
         # uncorrected (ATE 0.096 vs 0.058 with closures allowed).
         self.cooldown_kfs = 4
         self._cooldown_until = -1
+        # ACCEPTED loop-edge measurements, persisted across closures: a
+        # multi-loop run re-optimizes the graph with the PREVIOUS loop
+        # edges included (up to 3 + the new one), so distributing a new
+        # closure's drift cannot silently re-open an old seam — relative
+        # measurements are coordinate-free, and an already-applied edge
+        # sits at ~zero residual, pinning its seam while the chain flexes
+        self._edges: list[tuple[int, int, np.ndarray]] = []
 
     # ------------------------------------------------------------------
     def detect(self, kf_slot: int) -> tuple[int, np.ndarray | None]:
@@ -287,12 +294,7 @@ class LoopCloser:
             S_o = poses[old_kf].copy()
             S_n = poses[kf_slot].copy()
             Z_loop = (np.linalg.inv(S_o) @ S_corr @ S_n).astype(np.float32)
-            L = 4
-            li = np.zeros(L, np.int32)
-            lj = np.zeros(L, np.int32)
-            lrel = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
-            lw = np.zeros(L, np.float32)
-            li[0], lj[0], lrel[0], lw[0] = old_kf, kf_slot, Z_loop, LOOP_WEIGHT
+            li, lj, lrel, lw = self._loop_edge_arrays(old_kf, kf_slot, Z_loop)
             S_opt, err = pose_graph.optimize_sim3_chain(
                 jnp.asarray(poses),
                 jnp.asarray(valid),
@@ -314,12 +316,9 @@ class LoopCloser:
             # Woodbury path (the dense (P,P,6,6) Hessian is 604 MB at
             # P=2048; VERDICT r4 weak #6) — equivalence-tested against
             # the dense path in tests/test_loop_closure.py
-            L = 4
-            li = np.zeros(L, np.int32)
-            lj = np.zeros(L, np.int32)
-            lrel = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
-            lw = np.zeros(L, np.float32)
-            li[0], lj[0], lrel[0], lw[0] = old_kf, kf_slot, rel_loop, LOOP_WEIGHT
+            li, lj, lrel, lw = self._loop_edge_arrays(
+                old_kf, kf_slot, rel_loop
+            )
             new_poses, err = pose_graph.optimize_chain(
                 jnp.asarray(poses),
                 jnp.asarray(valid),
@@ -332,7 +331,10 @@ class LoopCloser:
                 iters=25,
             )
         else:
-            E = Wg  # n-1 chain edges + 1 loop edge, padded
+            li, lj, lrel, lw = self._loop_edge_arrays(
+                old_kf, kf_slot, rel_loop
+            )
+            E = Wg + len(li)  # n-1 chain edges + loop edges, padded
             ei = np.zeros(E, np.int32)
             ej = np.zeros(E, np.int32)
             rel = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
@@ -341,9 +343,10 @@ class LoopCloser:
             ej[: n - 1] = np.arange(1, n)
             rel[: n - 1] = chain_rel[: n - 1]
             ew[: n - 1] = ODO_WEIGHT
-            ei[n - 1], ej[n - 1] = old_kf, kf_slot
-            rel[n - 1] = rel_loop
-            ew[n - 1] = LOOP_WEIGHT
+            ei[n - 1 : n - 1 + len(li)] = li
+            ej[n - 1 : n - 1 + len(lj)] = lj
+            rel[n - 1 : n - 1 + len(li)] = lrel
+            ew[n - 1 : n - 1 + len(li)] = lw
             new_poses, err = pose_graph.optimize(
                 jnp.asarray(poses),
                 jnp.asarray(valid),
@@ -411,6 +414,15 @@ class LoopCloser:
             live_r = w.kf_obs_r_lm >= 0
             w.kf_obs_r_lm[live_r] = remap[w.kf_obs_r_lm[live_r]]
         self.closures += 1
+        # persist the accepted edge (Sim(3)-valued in mono — same (4,4)
+        # representation) for subsequent closures' graphs
+        self._edges.append(
+            (
+                old_kf,
+                kf_slot,
+                (Z_loop if float(self.baseline) == 0.0 else rel_loop).copy(),
+            )
+        )
         return {
             "kf_slot": kf_slot,
             "old_kf": old_kf,
@@ -419,6 +431,21 @@ class LoopCloser:
             "pose_graph_error": float(err),
             "n_merged": int(merged.sum()),
         }
+
+    def _loop_edge_arrays(self, old_kf: int, kf_slot: int, rel: np.ndarray):
+        """Padded (4,)-slot loop-edge arrays: the NEW edge in slot 0 plus
+        up to 3 previously-accepted edges (see self._edges). The new edge
+        is NOT yet persisted — close() appends it only after the
+        correction is actually written back."""
+        L = 4
+        li = np.zeros(L, np.int32)
+        lj = np.zeros(L, np.int32)
+        lrel = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+        lw = np.zeros(L, np.float32)
+        li[0], lj[0], lrel[0], lw[0] = old_kf, kf_slot, rel, LOOP_WEIGHT
+        for k, (i, j, z) in enumerate(self._edges[-(L - 1):], start=1):
+            li[k], lj[k], lrel[k], lw[k] = i, j, z, LOOP_WEIGHT
+        return li, lj, lrel, lw
 
     def _merge_pairs(self, kf_new: int, kf_old: int) -> list[tuple[int, int]]:
         """(new_lm, old_lm) pairs: keys of the two keyframes matched by

@@ -593,6 +593,29 @@ def local_ba_two_rounds(
     return p2, err, kill
 
 
+@functools.partial(jax.jit, static_argnames=("iters1",))
+def local_ba_round1(p: BAProblem, iters1: int = 5):
+    """Round 1 + the inter-round chi-squared sweep as its OWN program —
+    the first half of :func:`local_ba_two_rounds`, bit-identical when
+    chained with :func:`local_ba_round2` (each round restarts lambda at
+    lambda0 in the fused form too). Split so the staged async pipeline
+    can interleave a tracking step between the rounds: the fused program
+    is the single largest block in the device queue and the dominant
+    driver-visible p90 contributor (BASELINE.md)."""
+    p1, _, _ = local_ba(p, iters=iters1)
+    keep = p1.obs_valid & (obs_chi2(p1) < CHI2_THR)
+    return p1._replace(obs_valid=keep)
+
+
+@functools.partial(jax.jit, static_argnames=("iters2",))
+def local_ba_round2(p1: BAProblem, iters2: int = 10):
+    """Round 2 + the final kill mask — the second half of
+    :func:`local_ba_two_rounds`."""
+    p2, err, _ = local_ba(p1, iters=iters2)
+    kill = p2.obs_valid & (obs_chi2(p2) >= CHI2_THR)
+    return p2, err, kill
+
+
 @jax.jit
 def obs_chi2(p: BAProblem) -> jax.Array:
     """Per-observation chi^2 (unwhitened pixel errors x information), for
