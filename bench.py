@@ -104,6 +104,8 @@ def run_pipeline(scene, params, n_frames, warmup, cache_key):
             age = f - pending_ba[1]
             if age < BA_LATENCY:
                 return
+            # publish triangulated landmarks early (mirrors VSlamSystem)
+            trk.add_active(mapper.consume_triangulation(pending_ba[0]))
             # past the minimum age, keep deferring while the background
             # prefetch has not landed the result blobs (the blocking
             # fetch mid-chain was the r4 p90 tail); the device-resident

@@ -978,6 +978,8 @@ class LocalMapper:
                 n_live, pending["kf_slot"], pending["mono"],
                 pending["tri"], pending["t0"],
             )
+            if "early_lm_ids" in pending:  # triangulation consumed early
+                out["early_lm_ids"] = pending["early_lm_ids"]
             return self.prefetch(out)
         return pending
 
@@ -1205,6 +1207,24 @@ class LocalMapper:
         )
         return self.finish(pending)
 
+    def consume_triangulation(self, pending: dict) -> np.ndarray:
+        """Consume ONLY the triangulation blob of a pending handle (its
+        device->host copy started at phase-A dispatch, so by the time the
+        caller polls it the bytes have landed): updates the host
+        observation mirrors + allocator and returns the new landmark
+        slots so the tracker can publish them to its active set WITHOUT
+        waiting for the BA result — the staged 3-phase dispatch otherwise
+        delays new-landmark publication ~2 extra frames, which starves
+        tracking through low-texture stretches (measured: the 1000-frame
+        adversarial ATE regressed 0.07 -> 0.12 before this early
+        consume). Idempotent; finish() returns these ids."""
+        if pending.get("tri") is None:
+            return pending.get("early_lm_ids", np.zeros(0, np.int64))
+        ids = self._finish_triangulation(pending["tri"])
+        pending["tri"] = None
+        pending["early_lm_ids"] = ids
+        return ids
+
     def prefetch(self, pending: dict) -> dict:
         """Start a background-thread fetch of a pending handle's result
         blobs. After this, ``pending_ready(pending)`` reports true once
@@ -1253,7 +1273,7 @@ class LocalMapper:
             new_lm_ids = (
                 self._finish_triangulation(pending["tri"])
                 if pending["tri"] is not None
-                else np.zeros(0, np.int64)
+                else pending.get("early_lm_ids", np.zeros(0, np.int64))
             )
             # host mirrors: ONE packed fetch [poses | kill | take | err, n_live]
             blob = np.asarray(pending["host_pack"])
