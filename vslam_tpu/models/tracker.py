@@ -996,6 +996,15 @@ class StereoTracker:
         self._mono = False
         self._state = None  # device state pytree (set after frame 0)
         self._pending = collections.deque()  # unprocessed (frame, outputs, layout, D)
+        # background fetch thread for per-frame / keyframe result blobs:
+        # on this backend copy_to_host_async does NOT proactively land
+        # the bytes (measured: every KF-commit fetch still blocked
+        # 32-70 ms one full frame after its copy "started"), but a
+        # blocking np.asarray on a worker thread releases the GIL and
+        # genuinely overlaps — the same mechanism LocalMapper.prefetch
+        # uses. Consumption points are unchanged (fixed frames), so
+        # trajectories stay deterministic; only the waiting overlaps.
+        self._fetch_pool = None
         # deferred keyframe commit: the blob fetch of a just-prepared KF
         # (landmark ids, spawn count) rides behind the NEXT frame's device
         # compute instead of blocking inside the KF frame (VERDICT r3 weak
@@ -1020,6 +1029,19 @@ class StereoTracker:
         self._imu_const = (jnp.asarray(self.imu_cfg.gravity_w), T_bc, prm)
 
     # ------------------------------------------------------------------
+    def _submit_fetch(self, arr):
+        """Start a background-thread blocking fetch of a device array;
+        returns a Future whose result() is the numpy copy (see
+        _fetch_pool comment — copy_to_host_async is not proactive on
+        this backend)."""
+        if self._fetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fetch_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="trk-fetch"
+            )
+        return self._fetch_pool.submit(np.asarray, arr)
+
     def _gather_active_dev(self):
         ids = jnp.asarray(self.active_ids, jnp.int32)
         return map_state.gather_active(
@@ -1147,6 +1169,12 @@ class StereoTracker:
         # _process pops this frame (one frame later under the depth-1
         # pipeline) the bytes have already crossed the tunnel, so the
         # blocking fetch costs ~0 instead of a full round trip
+        # per-frame blob: the plain async-copy + direct fetch is CHEAPER
+        # here than a thread fetch (the blob is consumed 2 frames later
+        # and has usually landed; a per-frame Future handoff measurably
+        # raised p50 10 -> 12-15 ms). The thread fetch is reserved for
+        # the KEYFRAME commit blob, where the direct fetch measurably
+        # blocked 32-70 ms (_commit_keyframe).
         outputs["blob"].copy_to_host_async()
         self._pending.append(
             (self.frame_idx, outputs, self.active_ids.copy(), self._D.copy())
@@ -1505,10 +1533,11 @@ class StereoTracker:
         LocalMapper thread handoff, src/FeatureTracker.cpp:743-842)."""
         t0 = time.perf_counter()
         w = self.world
-        # start the device->host copy of the packed blob NOW, so the
-        # blocking np.asarray below finds the bytes already landed instead
-        # of paying a fresh tunnel round trip
-        host_blob.copy_to_host_async()
+        # start a BACKGROUND-THREAD fetch of the packed blob NOW (a
+        # worker-thread np.asarray genuinely overlaps; copy_to_host_async
+        # is not proactive on this backend — every KF fetch still blocked
+        # 32-70 ms one frame later with it)
+        blob_fut = self._submit_fetch(host_blob)
         with w.update_lock:
             w.kf_poses_host[kf_slot] = np.asarray(T_kf_host, np.float32)
         self.frame_records.append((kf_slot, np.eye(4, dtype=np.float32)))
@@ -1516,7 +1545,7 @@ class StereoTracker:
         if defer:
             self._kf_pending = {
                 "kf_slot": kf_slot,
-                "blob": host_blob,
+                "blob": blob_fut,
                 "spawn_host": spawn_host,
                 "layout": layout if layout is not None else self.active_ids,
                 "ages": ages if ages is not None else self.miss_age,
@@ -1524,7 +1553,7 @@ class StereoTracker:
             }
             return -1
         self._finish_kf_commit_blob(
-            kf_slot, host_blob, spawn_host,
+            kf_slot, blob_fut, spawn_host,
             layout if layout is not None else self.active_ids,
             ages if ages is not None else self.miss_age,
         )
@@ -1562,7 +1591,12 @@ class StereoTracker:
         w = self.world
         with w.update_lock:
             # host mirrors: ONE packed fetch [key_lm | obs_r_lm | n_spawned]
-            blob = np.asarray(host_blob)
+            # (host_blob is a background-fetch Future or a device array)
+            blob = (
+                host_blob.result()
+                if hasattr(host_blob, "result")
+                else np.asarray(host_blob)
+            )
             N = w.keys_per_kf
             Kr = w.right_obs_per_kf
             key_lm_host = blob[:N].astype(np.int64)
